@@ -1,0 +1,185 @@
+"""DSP front-end tests.
+
+torchaudio/librosa are not installed, so each JAX front-end is validated
+against an independent straight-from-the-spec numpy implementation written
+here (loop-based, no shared code), plus signal-level sanity properties.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ap_adapter_tpu.audio.dsp import frame_signal, resample, normalize_wav
+from ap_adapter_tpu.audio.fbank import kaldi_fbank, audiomae_fbank, kaldi_mel_banks
+from ap_adapter_tpu.audio.mel import tacotron_mel, wav_to_vae_mel, slaney_mel_banks
+from ap_adapter_tpu.configs import FbankConfig, MelConfig
+
+
+# ---------------------------------------------------------------------------
+# Independent numpy references (slow, loop-based; written from the Kaldi /
+# librosa specs, deliberately NOT sharing code with the JAX implementations).
+# ---------------------------------------------------------------------------
+
+
+def ref_kaldi_fbank(wave: np.ndarray, sr: int = 16000, num_bins: int = 128) -> np.ndarray:
+    frame_len = int(sr * 0.025)
+    hop = int(sr * 0.010)
+    padded = 512
+    num_frames = 1 + (len(wave) - frame_len) // hop
+
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame_len) / (frame_len - 1))
+
+    # kaldi mel banks
+    def mel(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+
+    low, high = 20.0, sr / 2.0
+    delta = (mel(high) - mel(low)) / (num_bins + 1)
+    fft_freqs = (sr / padded) * np.arange(padded // 2)
+    banks = np.zeros((num_bins, padded // 2 + 1))
+    for b in range(num_bins):
+        l, c, r = mel(low) + b * delta, mel(low) + (b + 1) * delta, mel(low) + (b + 2) * delta
+        m = mel(fft_freqs)
+        w = np.minimum((m - l) / (c - l), (r - m) / (r - c))
+        banks[b, : padded // 2] = np.maximum(0.0, w)
+
+    out = np.zeros((num_frames, num_bins))
+    for i in range(num_frames):
+        fr = wave[i * hop : i * hop + frame_len].astype(np.float64).copy()
+        fr -= fr.mean()
+        pre = np.empty_like(fr)
+        pre[0] = fr[0] - 0.97 * fr[0]
+        pre[1:] = fr[1:] - 0.97 * fr[:-1]
+        fr = pre * window
+        spec = np.fft.rfft(fr, n=padded)
+        power = np.abs(spec) ** 2
+        out[i] = np.log(np.maximum(banks @ power, np.finfo(np.float32).eps))
+    return out
+
+
+def ref_tacotron_mel(wave: np.ndarray, sr=16000, n_fft=1024, hop=160, n_mels=64) -> np.ndarray:
+    x = np.pad(wave.astype(np.float64), n_fft // 2, mode="reflect")
+    num_frames = 1 + (len(x) - n_fft) // hop
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+
+    # librosa slaney mel
+    def hz2mel(f):
+        f = np.atleast_1d(np.asarray(f, dtype=np.float64))
+        m = f / (200.0 / 3.0)
+        lg = f >= 1000.0
+        m[lg] = 15.0 + np.log(f[lg] / 1000.0) / (np.log(6.4) / 27.0)
+        return m
+
+    def mel2hz(m):
+        m = np.atleast_1d(np.asarray(m, dtype=np.float64))
+        f = m * (200.0 / 3.0)
+        lg = m >= 15.0
+        f[lg] = 1000.0 * np.exp((np.log(6.4) / 27.0) * (m[lg] - 15.0))
+        return f
+
+    pts = mel2hz(np.linspace(hz2mel(0.0)[0], hz2mel(8000.0)[0], n_mels + 2))
+    fftfreqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    banks = np.zeros((n_mels, len(fftfreqs)))
+    for b in range(n_mels):
+        lo, ce, hi = pts[b], pts[b + 1], pts[b + 2]
+        w = np.minimum((fftfreqs - lo) / (ce - lo), (hi - fftfreqs) / (hi - ce))
+        banks[b] = np.maximum(0, w) * 2.0 / (hi - lo)
+
+    out = np.zeros((num_frames, n_mels))
+    for i in range(num_frames):
+        fr = x[i * hop : i * hop + n_fft] * window
+        mag = np.abs(np.fft.rfft(fr))
+        out[i] = np.log(np.maximum(banks @ mag, 1e-5))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+
+def test_frame_signal_matches_strides(rng):
+    x = rng.standard_normal(1000).astype(np.float32)
+    frames = np.asarray(frame_signal(jnp.asarray(x), 400, 160))
+    assert frames.shape == (1 + (1000 - 400) // 160, 400)
+    for i in range(frames.shape[0]):
+        np.testing.assert_allclose(frames[i], x[i * 160 : i * 160 + 400], rtol=0, atol=0)
+
+
+def test_kaldi_fbank_matches_reference(rng):
+    wave = rng.standard_normal(16000).astype(np.float32) * 0.3
+    got = np.asarray(kaldi_fbank(jnp.asarray(wave)))
+    want = ref_kaldi_fbank(wave)
+    assert got.shape == want.shape == (98, 128)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_kaldi_fbank_pure_tone_peak():
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    fb = np.asarray(kaldi_fbank(jnp.asarray(tone)))
+    banks = kaldi_mel_banks(128, 512, sr, 20.0, 0.0)
+    freqs = (sr / 512) * np.arange(banks.shape[0])
+    # the hottest mel bin should be one whose filter covers 1 kHz
+    hot = int(fb.mean(axis=0).argmax())
+    support = freqs[banks[:, hot] > 0]
+    assert support.min() <= 1000.0 <= support.max()
+
+
+def test_audiomae_fbank_shape_and_norm(rng):
+    wave = rng.standard_normal(160000).astype(np.float32) * 0.2
+    fb = np.asarray(audiomae_fbank(jnp.asarray(wave)))
+    assert fb.shape == (1024, 128)
+    # 998 real frames then zero padding, normalized: pad rows = (0-mean)/2std
+    pad_val = (0.0 - (-4.2677393)) / (4.5689974 * 2)
+    np.testing.assert_allclose(fb[1000:], pad_val, atol=1e-5)
+
+
+def test_tacotron_mel_matches_reference(rng):
+    wave = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+    got = np.asarray(tacotron_mel(jnp.asarray(wave)))
+    want = ref_tacotron_mel(wave)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_wav_to_vae_mel_shape(rng):
+    wave = rng.standard_normal(163840).astype(np.float32)
+    mel = np.asarray(wav_to_vae_mel(jnp.asarray(wave), target_frames=1024))
+    assert mel.shape == (1024, 64)
+    # also batched
+    mel2 = np.asarray(wav_to_vae_mel(jnp.asarray(np.stack([wave, wave])), target_frames=1024))
+    assert mel2.shape == (2, 1024, 64)
+    np.testing.assert_allclose(mel2[0], mel, atol=1e-5)
+
+
+def test_resample_identity_and_tone(rng):
+    x = rng.standard_normal(8000).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), 16000, 16000))
+    np.testing.assert_allclose(y, x)
+
+    # 48 kHz 2 kHz tone -> 16 kHz keeps the tone at 2 kHz
+    sr0, sr1, f = 48000, 16000, 2000.0
+    t = np.arange(sr0) / sr0
+    tone = np.sin(2 * np.pi * f * t).astype(np.float32)
+    out = np.asarray(resample(jnp.asarray(tone), sr0, sr1))
+    assert out.shape[0] == sr1
+    spec = np.abs(np.fft.rfft(out[1000:-1000] * np.hanning(out.size - 2000)))
+    peak_hz = spec.argmax() * sr1 / (out.size - 2000)
+    assert abs(peak_hz - f) < 10.0
+    # amplitude preserved within a few percent
+    assert abs(out[2000:-2000].std() - tone.std()) < 0.05
+
+
+def test_resample_length_formula(rng):
+    x = rng.standard_normal(44100).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), 44100, 16000))
+    assert y.shape[0] == int(np.ceil(16000 * 44100 / 44100))
+
+
+def test_normalize_wav():
+    x = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float32))
+    y = np.asarray(normalize_wav(x))
+    assert abs(y.mean()) < 1e-7
+    np.testing.assert_allclose(np.abs(y).max(), 0.5, rtol=1e-6)
