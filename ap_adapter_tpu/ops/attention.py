@@ -1,0 +1,80 @@
+"""Attention primitives.
+
+Convention: q/k/v are [batch, seq, heads, head_dim] (flax layout — the last
+two dims map to (sublane, lane) tiles on the MXU without transposes).
+
+``dual_kv_attention`` is the TPU-native form of the reference's decoupled
+IP-adapter cross-attention (APadapter/ap_adapter/attention_processor.py:
+347-470): one attention over the text/GPT-2 KV, one over the audio (adapter)
+KV, combined as ``text + scale * audio``. XLA fuses the two softmax-matmul
+chains; a fused Pallas kernel is available in ops/pallas_attention.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q: [B, Sq, H, D], k/v: [B, Sk, H, D].
+    mask: broadcastable to [B, H, Sq, Sk]; boolean (True = attend) or additive.
+    Softmax is computed in fp32 regardless of input dtype.
+    """
+
+    dtype = q.dtype
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        else:
+            logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def dual_kv_attention(
+    q: jnp.ndarray,
+    k_text: jnp.ndarray,
+    v_text: jnp.ndarray,
+    k_ip: jnp.ndarray,
+    v_ip: jnp.ndarray,
+    ip_scale: jnp.ndarray | float,
+    mask_text: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Decoupled dual-KV cross-attention: attn(q, text) + s * attn(q, ip).
+
+    The audio (ip) branch is unmasked, matching the reference
+    (attention_processor.py:443-445 passes attn_mask=None).
+    """
+
+    out_text = sdpa(q, k_text, v_text, mask_text)
+    out_ip = sdpa(q, k_ip, v_ip)
+    scale = jnp.asarray(ip_scale, dtype=out_ip.dtype)
+    return out_text + scale * out_ip
+
+
+def mask_to_bias(mask: Optional[jnp.ndarray], num_query: int) -> Optional[jnp.ndarray]:
+    """[B, Sk] {0,1} padding mask -> [B, 1, 1, Sk] additive fp32 bias.
+
+    Matches the reference's -10000 bias convention
+    (modeling_audioldm2.py:741-747).
+    """
+
+    if mask is None:
+        return None
+    bias = (1.0 - mask.astype(jnp.float32)) * -10000.0
+    return bias[:, None, None, :]
