@@ -211,3 +211,209 @@ def projection_params(sd: StateDict) -> Dict:
         "sos_embed_1": sd["sos_embed_1"],
         "eos_embed_1": sd["eos_embed_1"],
     }
+
+
+# ---------------------------------------------------------------------------
+# Transformer2DModel / attention-group helpers (AudioLDM2 UNet)
+# ---------------------------------------------------------------------------
+
+
+def _t_conv1x1_dense(sd: StateDict, prefix: str) -> Dict:
+    """torch Conv2d 1x1 [O,I,1,1] -> Dense kernel [I,O]."""
+
+    w = sd[prefix + ".weight"]
+    out = {"kernel": np.ascontiguousarray(w[:, :, 0, 0].T)}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _attention_params(sd: StateDict, p: str, has_adapter: bool) -> Dict:
+    out = {
+        "to_q": t_linear(sd, f"{p}.to_q", bias=False),
+        "to_k": t_linear(sd, f"{p}.to_k", bias=False),
+        "to_v": t_linear(sd, f"{p}.to_v", bias=False),
+        "to_out": t_linear(sd, f"{p}.to_out.0"),
+    }
+    if has_adapter:
+        if f"{p}.processor.to_k_ip.weight" in sd:
+            out["to_k_ip"] = t_linear(sd, f"{p}.processor.to_k_ip", bias=False)
+            out["to_v_ip"] = t_linear(sd, f"{p}.processor.to_v_ip", bias=False)
+        else:
+            # zero-delta init: copy the frozen text K/V (reference copy_weight.py)
+            out["to_k_ip"] = {"kernel": out["to_k"]["kernel"].copy()}
+            out["to_v_ip"] = {"kernel": out["to_v"]["kernel"].copy()}
+    return out
+
+
+def _transformer2d_params(sd: StateDict, p: str, num_layers: int, has_adapter: bool) -> Dict:
+    params = {
+        "norm": t_norm(sd, f"{p}.norm"),
+        "proj_in": _t_conv1x1_dense(sd, f"{p}.proj_in"),
+        "proj_out": _t_conv1x1_dense(sd, f"{p}.proj_out"),
+    }
+    for t in range(num_layers):
+        tp = f"{p}.transformer_blocks.{t}"
+        params[f"transformer_blocks_{t}"] = {
+            "norm1": t_norm(sd, f"{tp}.norm1"),
+            "attn1": _attention_params(sd, f"{tp}.attn1", False),
+            "norm2": t_norm(sd, f"{tp}.norm2"),
+            "attn2": _attention_params(sd, f"{tp}.attn2", has_adapter),
+            "norm3": t_norm(sd, f"{tp}.norm3"),
+            "ff": {
+                "geglu_proj": t_linear(sd, f"{tp}.ff.net.0.proj"),
+                "out_proj": t_linear(sd, f"{tp}.ff.net.2"),
+            },
+        }
+    return params
+
+
+def _resnet_params(sd: StateDict, p: str, use_temb: bool = True) -> Dict:
+    params = {
+        "norm1": t_norm(sd, f"{p}.norm1"),
+        "conv1": t_conv2d(sd, f"{p}.conv1"),
+        "norm2": t_norm(sd, f"{p}.norm2"),
+        "conv2": t_conv2d(sd, f"{p}.conv2"),
+    }
+    if use_temb and f"{p}.time_emb_proj.weight" in sd:
+        params["time_emb_proj"] = t_linear(sd, f"{p}.time_emb_proj")
+    if f"{p}.conv_shortcut.weight" in sd:
+        params["conv_shortcut"] = t_conv2d(sd, f"{p}.conv_shortcut")
+    return params
+
+
+def unet_params(sd: StateDict, config) -> Dict:
+    """Map AudioLDM2UNet2DConditionModel weights to the Flax AudioLDM2UNet.
+
+    ``config`` is an ap_adapter_tpu UNetConfig (for topology). The torch flat
+    attention index is layer*len(cross_dims)+idx; ours is nested per layer.
+    """
+
+    n_dims = len(config.cross_attention_dims)
+    t_layers = config.transformer_layers_per_block
+    adapter_dim = config.adapter_cross_attention_dim
+
+    params = {
+        "conv_in": t_conv2d(sd, "conv_in"),
+        "time_embedding_linear_1": t_linear(sd, "time_embedding.linear_1"),
+        "time_embedding_linear_2": t_linear(sd, "time_embedding.linear_2"),
+        "conv_norm_out": t_norm(sd, "conv_norm_out"),
+        "conv_out": t_conv2d(sd, "conv_out"),
+    }
+
+    def attn_group(tprefix, fprefix, layer):
+        for idx, dim in enumerate(config.cross_attention_dims):
+            flat = layer * n_dims + idx
+            params.setdefault(fprefix, {})[f"attentions_{idx}"] = _transformer2d_params(
+                sd, f"{tprefix}.attentions.{flat}", t_layers,
+                has_adapter=(dim is not None and dim == adapter_dim),
+            )
+
+    num_blocks = len(config.block_out_channels)
+    for b in range(num_blocks):
+        for l in range(config.layers_per_block):
+            params[f"down_{b}_resnet_{l}"] = _resnet_params(sd, f"down_blocks.{b}.resnets.{l}")
+            if config.down_block_has_attn[b]:
+                attn_group(f"down_blocks.{b}", f"down_{b}_attn_{l}", l)
+        if b < num_blocks - 1:
+            params[f"down_{b}_downsample"] = {
+                "conv": t_conv2d(sd, f"down_blocks.{b}.downsamplers.0.conv")
+            }
+
+    params["mid_resnet_0"] = _resnet_params(sd, "mid_block.resnets.0")
+    params["mid_resnet_1"] = _resnet_params(sd, "mid_block.resnets.1")
+    attn_group("mid_block", "mid_attn_0", 0)
+
+    for b in range(num_blocks):
+        for l in range(config.layers_per_block + 1):
+            params[f"up_{b}_resnet_{l}"] = _resnet_params(sd, f"up_blocks.{b}.resnets.{l}")
+            if config.up_block_has_attn[b]:
+                attn_group(f"up_blocks.{b}", f"up_{b}_attn_{l}", l)
+        if b < num_blocks - 1:
+            params[f"up_{b}_upsample"] = {"conv": t_conv2d(sd, f"up_blocks.{b}.upsamplers.0.conv")}
+
+    return params
+
+
+# ---------------------------------------------------------------------------
+# VAE (diffusers AutoencoderKL)
+# ---------------------------------------------------------------------------
+
+
+def _vae_mid(sd: StateDict, p: str) -> Dict:
+    out = {
+        "mid_resnet_0": _resnet_params(sd, f"{p}.mid_block.resnets.0", use_temb=False),
+        "mid_resnet_1": _resnet_params(sd, f"{p}.mid_block.resnets.1", use_temb=False),
+    }
+    ap = f"{p}.mid_block.attentions.0"
+    if f"{ap}.to_q.weight" in sd:
+        out["mid_attn"] = {
+            "group_norm": t_norm(sd, f"{ap}.group_norm"),
+            "to_q": t_linear(sd, f"{ap}.to_q"),
+            "to_k": t_linear(sd, f"{ap}.to_k"),
+            "to_v": t_linear(sd, f"{ap}.to_v"),
+            "to_out": t_linear(sd, f"{ap}.to_out.0"),
+        }
+    return out
+
+
+def vae_params(sd: StateDict, config) -> Dict:
+    n = len(config.block_out_channels)
+    enc: Dict = {"conv_in": t_conv2d(sd, "encoder.conv_in"),
+                 "conv_norm_out": t_norm(sd, "encoder.conv_norm_out"),
+                 "conv_out": t_conv2d(sd, "encoder.conv_out")}
+    enc.update(_vae_mid(sd, "encoder"))
+    for b in range(n):
+        for l in range(config.layers_per_block):
+            enc[f"down_{b}_resnet_{l}"] = _resnet_params(
+                sd, f"encoder.down_blocks.{b}.resnets.{l}", use_temb=False)
+        if b < n - 1:
+            enc[f"down_{b}_downsample"] = {
+                "conv": t_conv2d(sd, f"encoder.down_blocks.{b}.downsamplers.0.conv")}
+
+    dec: Dict = {"conv_in": t_conv2d(sd, "decoder.conv_in"),
+                 "conv_norm_out": t_norm(sd, "decoder.conv_norm_out"),
+                 "conv_out": t_conv2d(sd, "decoder.conv_out")}
+    dec.update(_vae_mid(sd, "decoder"))
+    for b in range(n):
+        for l in range(config.layers_per_block + 1):
+            dec[f"up_{b}_resnet_{l}"] = _resnet_params(
+                sd, f"decoder.up_blocks.{b}.resnets.{l}", use_temb=False)
+        if b < n - 1:
+            dec[f"up_{b}_upsample"] = {
+                "conv": t_conv2d(sd, f"decoder.up_blocks.{b}.upsamplers.0.conv")}
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _t_conv1x1_dense(sd, "quant_conv"),
+        "post_quant_conv": _t_conv1x1_dense(sd, "post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN vocoder (transformers SpeechT5HifiGan)
+# ---------------------------------------------------------------------------
+
+
+def vocoder_params(sd: StateDict, config) -> Dict:
+    params: Dict = {
+        "conv_pre": t_conv1d(sd, "conv_pre"),
+        "conv_post": t_conv1d(sd, "conv_post"),
+    }
+    if config.normalize_before or "mean" in sd:
+        params["mean"] = sd.get("mean")
+        params["scale"] = sd.get("scale")
+        if params["mean"] is None:
+            params.pop("mean"), params.pop("scale")
+    num_kernels = len(config.resblock_kernel_sizes)
+    for i in range(len(config.upsample_rates)):
+        params[f"upsampler_{i}"] = t_conv_transpose1d(sd, f"upsampler.{i}")
+        for j in range(num_kernels):
+            flat = i * num_kernels + j
+            rb: Dict = {}
+            for m in range(len(config.resblock_dilation_sizes[j])):
+                rb[f"convs1_{m}"] = t_conv1d(sd, f"resblocks.{flat}.convs1.{m}")
+                rb[f"convs2_{m}"] = t_conv1d(sd, f"resblocks.{flat}.convs2.{m}")
+            params[f"resblock_{i}_{j}"] = rb
+    return params

@@ -1,0 +1,132 @@
+"""AudioLDM2 dual-stream conditional UNet in Flax (NHWC).
+
+TPU-native re-design of ``AudioLDM2UNet2DConditionModel``
+(reference pipeline/modeling_audioldm2.py:148-873): same topology — conv_in,
+sinusoidal time embedding, down/mid/up blocks where every attention "layer"
+is a group of 4 Transformer2DModels routed over two conditioning streams —
+but built as a pure-functional Flax module whose decoupled audio-KV adapter
+is part of the parameter tree (no mutable attention-processor registry).
+
+Latent layout is NHWC: [batch, time, freq, channels] (e.g. [B, 250, 16, 8]
+for a 10 s clip), the TPU-friendly layout for convolutions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ap_adapter_tpu.configs import UNetConfig
+from ap_adapter_tpu.models.layers import get_timestep_embedding
+from ap_adapter_tpu.models.unet_blocks import (
+    AttentionGroup,
+    Downsample2D,
+    ResnetBlock2D,
+    Upsample2D,
+)
+from ap_adapter_tpu.ops.attention import mask_to_bias
+
+
+class AudioLDM2UNet(nn.Module):
+    config: UNetConfig = UNetConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # [B, H, W, C_in]
+        timesteps: jnp.ndarray,  # [B] or scalar
+        encoder_hidden_states: jnp.ndarray,  # [B, S0, 768] GPT-2 + AudioMAE
+        encoder_hidden_states_1: jnp.ndarray,  # [B, S1, 1024] T5 stream
+        encoder_attention_mask_1: Optional[jnp.ndarray] = None,  # [B, S1]
+        ip_scale: jnp.ndarray | float = 0.0,
+    ) -> jnp.ndarray:
+        c = self.config
+        ch = c.block_out_channels
+        heads = c.num_attention_heads
+        groups = c.norm_num_groups
+
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # stream masks -> additive biases (reference modeling_audioldm2.py:741-747)
+        bias0 = None  # the GPT-2+AudioMAE stream is never masked (all tokens real)
+        bias1 = mask_to_bias(encoder_attention_mask_1, sample.shape[1]) if (
+            encoder_attention_mask_1 is not None
+        ) else None
+
+        # time embedding
+        t_emb = get_timestep_embedding(
+            timesteps, ch[0], flip_sin_to_cos=c.flip_sin_to_cos, downscale_freq_shift=c.freq_shift
+        ).astype(self.dtype)
+        temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_1")(t_emb)
+        temb = nn.silu(temb)
+        temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_2")(temb)
+
+        ehs0 = encoder_hidden_states.astype(self.dtype)
+        ehs1 = encoder_hidden_states_1.astype(self.dtype)
+
+        def attn_group(block_ch, name):
+            return AttentionGroup(
+                heads=heads,
+                dim_head=block_ch // heads,
+                cross_attention_dims=c.cross_attention_dims,
+                transformer_layers=c.transformer_layers_per_block,
+                adapter_dim=c.adapter_cross_attention_dim,
+                num_ip_tokens=c.adapter_num_tokens,
+                groups=groups,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        x = nn.Conv(ch[0], (c.conv_in_kernel,) * 2, padding=(c.conv_in_kernel - 1) // 2,
+                    dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
+
+        # ----- down -----
+        skips = [x]
+        num_blocks = len(ch)
+        for bi in range(num_blocks):
+            out_ch = ch[bi]
+            for li in range(c.layers_per_block):
+                x = ResnetBlock2D(out_ch, groups, c.norm_eps, dtype=self.dtype,
+                                  name=f"down_{bi}_resnet_{li}")(x, temb)
+                if c.down_block_has_attn[bi]:
+                    x = attn_group(out_ch, f"down_{bi}_attn_{li}")(
+                        x, ehs0, ehs1, bias0, bias1, ip_scale
+                    )
+                skips.append(x)
+            if bi < num_blocks - 1:
+                x = Downsample2D(out_ch, c.downsample_padding, dtype=self.dtype,
+                                 name=f"down_{bi}_downsample")(x)
+                skips.append(x)
+
+        # ----- mid -----
+        x = ResnetBlock2D(ch[-1], groups, c.norm_eps, dtype=self.dtype, name="mid_resnet_0")(x, temb)
+        x = attn_group(ch[-1], "mid_attn_0")(x, ehs0, ehs1, bias0, bias1, ip_scale)
+        x = ResnetBlock2D(ch[-1], groups, c.norm_eps, dtype=self.dtype, name="mid_resnet_1")(x, temb)
+
+        # ----- up -----
+        reversed_ch = list(reversed(ch))
+        for bi in range(num_blocks):
+            out_ch = reversed_ch[bi]
+            is_final = bi == num_blocks - 1
+            for li in range(c.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock2D(out_ch, groups, c.norm_eps, dtype=self.dtype,
+                                  name=f"up_{bi}_resnet_{li}")(x, temb)
+                if c.up_block_has_attn[bi]:
+                    x = attn_group(out_ch, f"up_{bi}_attn_{li}")(
+                        x, ehs0, ehs1, bias0, bias1, ip_scale
+                    )
+            if not is_final:
+                x = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{bi}_upsample")(x)
+
+        x = nn.GroupNorm(num_groups=groups, epsilon=c.norm_eps, dtype=self.dtype,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(c.out_channels, (c.conv_out_kernel,) * 2, padding=(c.conv_out_kernel - 1) // 2,
+                    dtype=self.dtype, name="conv_out")(x)
+        return x

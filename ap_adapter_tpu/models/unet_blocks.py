@@ -1,0 +1,265 @@
+"""Flax building blocks for the AudioLDM2 UNet (NHWC, diffusers semantics).
+
+TPU-native re-implementation of the diffusers primitives the reference UNet is
+assembled from (modeling_audioldm2.py:22-40): ResnetBlock2D,
+Down/Upsample2D, Transformer2DModel (+BasicTransformerBlock, GEGLU
+feed-forward), and the decoupled-KV adapter attention
+(APadapter/ap_adapter/attention_processor.py:297-470) folded directly into the
+cross-attention module — a functional param-tree design instead of the
+reference's mutable attention-processor registry.
+
+All convolutions are NHWC (TPU-native layout); weight names mirror diffusers
+for 1:1 checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ap_adapter_tpu.ops.attention import sdpa
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> silu -> conv -> (+temb) -> GN -> silu -> conv (+shortcut)."""
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    use_temb: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    padding: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=self.padding,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """diffusers ``Attention`` with an optional decoupled audio-KV branch.
+
+    With ``use_adapter`` and a provided context, the context is split at
+    ``num_ip_tokens`` (first 8 = GPT-2 tokens -> text KV, rest = AudioMAE
+    tokens -> adapter KV) and the outputs combined as text + ip_scale * audio,
+    matching reference attention_processor.py:400-454. The audio branch is
+    unmasked (reference :443-445).
+    """
+
+    heads: int
+    dim_head: int
+    out_dim: int
+    use_adapter: bool = False
+    num_ip_tokens: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        mask_bias: Optional[jnp.ndarray] = None,
+        ip_scale: jnp.ndarray | float = 0.0,
+    ) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        b, n, _ = x.shape
+
+        is_cross = context is not None
+        if is_cross and self.use_adapter:
+            ctx = context[:, : self.num_ip_tokens]
+            ip_ctx = context[:, self.num_ip_tokens :]
+        else:
+            ctx = context if is_cross else x
+            ip_ctx = None
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, -1, self.heads, self.dim_head)
+        v = v.reshape(b, -1, self.heads, self.dim_head)
+        out = sdpa(q, k, v, mask=mask_bias)
+
+        if self.use_adapter:
+            # params always exist at adapter sites so the checkpoint layout is
+            # stable; the branch contributes 0 when ip_scale == 0.
+            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")
+            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")
+            if ip_ctx is not None:
+                ki = k_ip(ip_ctx).reshape(b, -1, self.heads, self.dim_head)
+                vi = v_ip(ip_ctx).reshape(b, -1, self.heads, self.dim_head)
+                out = out + jnp.asarray(ip_scale, self.dtype) * sdpa(q, ki, vi)
+
+        out = out.reshape(b, n, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers default): proj -> chunk -> x*gelu(g)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        y = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        y, gate = jnp.split(y, 2, axis=-1)
+        y = y * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(y)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn (or 2nd self if double_self), LN->GEGLU FF."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None  # None => double self-attention
+    use_adapter: bool = False
+    num_ip_tokens: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        context_mask_bias: Optional[jnp.ndarray] = None,
+        ip_scale: jnp.ndarray | float = 0.0,
+    ) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(
+            self.heads, self.dim_head, self.dim, dtype=self.dtype, name="attn1"
+        )(y)
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        ctx = context if self.cross_attention_dim is not None else None
+        x = x + CrossAttention(
+            self.heads, self.dim_head, self.dim,
+            use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
+            dtype=self.dtype, name="attn2",
+        )(y, context=ctx, mask_bias=context_mask_bias if ctx is not None else None, ip_scale=ip_scale)
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(y)
+
+
+class Transformer2DModel(nn.Module):
+    """GN -> 1x1 proj_in -> transformer blocks over HW tokens -> proj_out + res."""
+
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    use_adapter: bool = False
+    num_ip_tokens: int = 8
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        context_mask_bias: Optional[jnp.ndarray] = None,
+        ip_scale: jnp.ndarray | float = 0.0,
+    ) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        y = nn.Dense(inner, dtype=self.dtype, name="proj_in")(y)  # 1x1 conv == dense
+        y = y.reshape(b, h * w, inner)
+        for i in range(self.num_layers):
+            y = BasicTransformerBlock(
+                inner, self.heads, self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(y, context, context_mask_bias, ip_scale)
+        y = y.reshape(b, h, w, inner)
+        y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
+        return y + residual
+
+
+class AttentionGroup(nn.Module):
+    """One attention "layer" of the AudioLDM2 UNet: a list of
+    Transformer2DModels, one per cross_attention_dims entry, routed
+    idx<=1 -> stream0 (GPT-2+AudioMAE), idx>1 -> stream1 (T5)
+    (reference modeling_audioldm2.py:1045-1059, 1140-1156)."""
+
+    heads: int
+    dim_head: int
+    cross_attention_dims: Sequence[Optional[int]]
+    transformer_layers: int
+    adapter_dim: Optional[int] = None
+    num_ip_tokens: int = 8
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        ehs0: Optional[jnp.ndarray],
+        ehs1: Optional[jnp.ndarray],
+        mask_bias0: Optional[jnp.ndarray] = None,
+        mask_bias1: Optional[jnp.ndarray] = None,
+        ip_scale: jnp.ndarray | float = 0.0,
+    ) -> jnp.ndarray:
+        for idx, dim in enumerate(self.cross_attention_dims):
+            if dim is not None and idx <= 1:
+                context, bias = ehs0, mask_bias0
+            elif dim is not None and idx > 1:
+                context, bias = ehs1, mask_bias1
+            else:
+                context, bias = None, None
+            x = Transformer2DModel(
+                self.heads, self.dim_head,
+                num_layers=self.transformer_layers,
+                cross_attention_dim=dim,
+                use_adapter=(dim is not None and dim == self.adapter_dim),
+                num_ip_tokens=self.num_ip_tokens,
+                groups=self.groups, dtype=self.dtype, name=f"attentions_{idx}",
+            )(x, context, bias, ip_scale)
+        return x
