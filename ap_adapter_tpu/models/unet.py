@@ -122,7 +122,10 @@ class AudioLDM2UNet(nn.Module):
                         x, ehs0, ehs1, bias0, bias1, ip_scale
                     )
             if not is_final:
-                x = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{bi}_upsample")(x)
+                # upsample to the next skip's spatial dims (handles odd sizes
+                # the same way diffusers' forward_upsample_size does)
+                target = skips[-1].shape[1:3]
+                x = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{bi}_upsample")(x, target)
 
         x = nn.GroupNorm(num_groups=groups, epsilon=c.norm_eps, dtype=self.dtype,
                          name="conv_norm_out")(x)

@@ -63,13 +63,17 @@ class Downsample2D(nn.Module):
 
 
 class Upsample2D(nn.Module):
+    """Nearest 2x (or to an explicit ``output_size`` — diffusers passes the
+    next skip's spatial dims when shapes are odd) followed by a 3x3 conv."""
+
     out_channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, output_size=None) -> jnp.ndarray:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        th, tw = output_size if output_size is not None else (h * 2, w * 2)
+        x = jax.image.resize(x, (b, th, tw, c), method="nearest")
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

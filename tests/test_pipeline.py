@@ -1,0 +1,90 @@
+"""End-to-end pipeline tests on the tiny config (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ap_adapter_tpu.configs import tiny_pipeline_config
+from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline, TextBatch
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return AudioLDM2Pipeline.from_random(tiny_pipeline_config(), seed=0)
+
+
+def _text(rng, cfg, b=1):
+    clap = rng.integers(2, cfg.clap.vocab_size, (b, 6))
+    t5 = rng.integers(2, cfg.t5.vocab_size, (b, 5))
+    return TextBatch(
+        clap_ids=jnp.asarray(clap, jnp.int32),
+        clap_mask=jnp.ones((b, 6), jnp.int32),
+        t5_ids=jnp.asarray(t5, jnp.int32),
+        t5_mask=jnp.ones((b, 5), jnp.int32),
+    )
+
+
+def test_generate_end_to_end(pipe, rng):
+    cfg = pipe.config
+    pos = _text(rng, cfg)
+    neg = _text(rng, cfg)
+    fbank = jnp.asarray(rng.standard_normal((1, *cfg.audiomae.img_size)).astype(np.float32))
+
+    wav = pipe.generate(
+        pos, neg, fbank,
+        audio_length_in_s=0.2,  # tiny: 0.2s * 16k / (16 upsample * 4 scale) -> small latent
+        num_inference_steps=4,
+        guidance_scale=3.0,
+        ap_scale=0.5,
+        time_pool=2,
+        freq_pool=2,
+        seed=0,
+    )
+    assert wav.shape[0] == 1
+    assert wav.shape[1] == int(0.2 * cfg.vocoder.sampling_rate)
+    assert np.all(np.isfinite(wav))
+    assert np.abs(wav).max() <= 1.0  # tanh output
+
+
+def test_generate_deterministic_and_seed_sensitive(pipe, rng):
+    cfg = pipe.config
+    pos, neg = _text(rng, cfg), _text(rng, cfg)
+    fbank = jnp.asarray(rng.standard_normal((1, *cfg.audiomae.img_size)).astype(np.float32))
+    kw = dict(audio_length_in_s=0.2, num_inference_steps=2, guidance_scale=3.0,
+              ap_scale=0.5, time_pool=2, freq_pool=2)
+    a = pipe.generate(pos, neg, fbank, seed=0, **kw)
+    b = pipe.generate(pos, neg, fbank, seed=0, **kw)
+    c = pipe.generate(pos, neg, fbank, seed=1, **kw)
+    np.testing.assert_allclose(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_generate_text_only(pipe, rng):
+    cfg = pipe.config
+    pos, neg = _text(rng, cfg), _text(rng, cfg)
+    wav = pipe.generate(
+        pos, neg, None,
+        audio_length_in_s=0.2, num_inference_steps=2, guidance_scale=3.0,
+    )
+    assert wav.shape == (1, int(0.2 * cfg.vocoder.sampling_rate))
+    assert np.all(np.isfinite(wav))
+
+
+def test_ap_scale_changes_output(pipe, rng):
+    cfg = pipe.config
+    pos, neg = _text(rng, cfg), _text(rng, cfg)
+    fbank = jnp.asarray(rng.standard_normal((1, *cfg.audiomae.img_size)).astype(np.float32))
+    kw = dict(audio_length_in_s=0.2, num_inference_steps=2, guidance_scale=3.0,
+              time_pool=2, freq_pool=2, seed=0)
+    a = pipe.generate(pos, neg, fbank, ap_scale=0.0, **kw)
+    b = pipe.generate(pos, neg, fbank, ap_scale=0.9, **kw)
+    assert not np.allclose(a, b)
+
+
+def test_latent_time_math():
+    pipe_cfg = tiny_pipeline_config()
+    p = AudioLDM2Pipeline(pipe_cfg, params={})
+    # tiny vocoder upsamples 16x at 16 kHz -> 1 ms per frame; 0.2 s -> 200
+    # frames -> /4 latent = 50
+    assert p.latent_time_for_seconds(0.2) == 50
