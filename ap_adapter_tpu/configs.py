@@ -210,6 +210,7 @@ class UNetConfig:
     # adapter (decoupled audio KV) settings — reference attention_processor.py:297-470
     adapter_cross_attention_dim: int = 768  # only 768-dim sites get the adapter
     adapter_num_tokens: int = 8  # first 8 tokens = GPT-2, rest = AudioMAE
+    use_pallas_attention: bool = False  # fused dual-KV kernel (TPU only)
 
     @property
     def time_embed_dim(self) -> int:

@@ -25,17 +25,22 @@ def ddim_sample_loop(
     guidance_scale: float | jnp.ndarray,
     do_cfg: bool = True,
     tables: Optional[DDIMTables] = None,
+    timesteps: Optional[np.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the full DDIM denoise.
 
     unet_fn(latent_model_input [2B or B, ...], t scalar) -> noise prediction.
     With ``do_cfg`` the input batch is [uncond; cond] (reference order:
     negative first — pipeline_audioldm2.py:534-567) and outputs are combined
-    as uncond + g * (cond - uncond).
+    as uncond + g * (cond - uncond). ``timesteps`` overrides the schedule
+    (e.g. the truncated SDEdit schedule); step spacing still follows
+    ``num_inference_steps``.
     """
 
     tables = tables or make_tables(scheduler_config)
-    ts = inference_timesteps(scheduler_config, num_inference_steps)
+    ts = timesteps if timesteps is not None else inference_timesteps(
+        scheduler_config, num_inference_steps
+    )
     step_ratio = scheduler_config.num_train_timesteps // num_inference_steps
     ts = jnp.asarray(ts, dtype=jnp.int32)
     prev_ts = ts - step_ratio

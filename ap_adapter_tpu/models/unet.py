@@ -76,6 +76,7 @@ class AudioLDM2UNet(nn.Module):
                 transformer_layers=c.transformer_layers_per_block,
                 adapter_dim=c.adapter_cross_attention_dim,
                 num_ip_tokens=c.adapter_num_tokens,
+                use_pallas=c.use_pallas_attention,
                 groups=groups,
                 dtype=self.dtype,
                 name=name,

@@ -92,6 +92,7 @@ class CrossAttention(nn.Module):
     out_dim: int
     use_adapter: bool = False
     num_ip_tokens: int = 8
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -120,7 +121,6 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, -1, self.heads, self.dim_head)
         v = v.reshape(b, -1, self.heads, self.dim_head)
-        out = sdpa(q, k, v, mask=mask_bias)
 
         if self.use_adapter:
             # params always exist at adapter sites so the checkpoint layout is
@@ -130,7 +130,17 @@ class CrossAttention(nn.Module):
             if ip_ctx is not None:
                 ki = k_ip(ip_ctx).reshape(b, -1, self.heads, self.dim_head)
                 vi = v_ip(ip_ctx).reshape(b, -1, self.heads, self.dim_head)
-                out = out + jnp.asarray(ip_scale, self.dtype) * sdpa(q, ki, vi)
+                if self.use_pallas:
+                    from ap_adapter_tpu.ops.pallas_attention import fused_dual_kv_attention
+
+                    out = fused_dual_kv_attention(q, k, v, ki, vi, ip_scale)
+                else:
+                    out = sdpa(q, k, v, mask=mask_bias)
+                    out = out + jnp.asarray(ip_scale, self.dtype) * sdpa(q, ki, vi)
+            else:
+                out = sdpa(q, k, v, mask=mask_bias)
+        else:
+            out = sdpa(q, k, v, mask=mask_bias)
 
         out = out.reshape(b, n, inner)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
@@ -161,6 +171,7 @@ class BasicTransformerBlock(nn.Module):
     cross_attention_dim: Optional[int] = None  # None => double self-attention
     use_adapter: bool = False
     num_ip_tokens: int = 8
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -181,6 +192,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dim,
             use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
+            use_pallas=self.use_pallas,
             dtype=self.dtype, name="attn2",
         )(y, context=ctx, mask_bias=context_mask_bias if ctx is not None else None, ip_scale=ip_scale)
 
@@ -197,6 +209,7 @@ class Transformer2DModel(nn.Module):
     cross_attention_dim: Optional[int] = None
     use_adapter: bool = False
     num_ip_tokens: int = 8
+    use_pallas: bool = False
     groups: int = 32
     dtype: Any = jnp.float32
 
@@ -219,6 +232,7 @@ class Transformer2DModel(nn.Module):
                 inner, self.heads, self.dim_head,
                 cross_attention_dim=self.cross_attention_dim,
                 use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"transformer_blocks_{i}",
             )(y, context, context_mask_bias, ip_scale)
         y = y.reshape(b, h, w, inner)
@@ -238,6 +252,7 @@ class AttentionGroup(nn.Module):
     transformer_layers: int
     adapter_dim: Optional[int] = None
     num_ip_tokens: int = 8
+    use_pallas: bool = False
     groups: int = 32
     dtype: Any = jnp.float32
 
@@ -264,6 +279,7 @@ class AttentionGroup(nn.Module):
                 cross_attention_dim=dim,
                 use_adapter=(dim is not None and dim == self.adapter_dim),
                 num_ip_tokens=self.num_ip_tokens,
+                use_pallas=self.use_pallas,
                 groups=self.groups, dtype=self.dtype, name=f"attentions_{idx}",
             )(x, context, bias, ip_scale)
         return x

@@ -57,50 +57,58 @@ class PipelineModules:
         self.vae = AutoencoderKL(config.vae, dtype=dt)
         self.vocoder = HiFiGAN(config.vocoder, dtype=dt)
 
-    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+    def init_params(self, seed: int = 0, fast: bool = True) -> Dict[str, Any]:
         """Random params for every submodel (benchmarks / tests; real use
-        loads converted checkpoints via convert/torch_import.py)."""
+        loads converted checkpoints via convert/torch_import.py).
+
+        ``fast`` fills leaves host-side via eval_shape (utils.init.fast_init)
+        — at full scale, compiling the real init graph takes minutes on TPU.
+        """
+
+        from ap_adapter_tpu.utils.init import fast_init
 
         c = self.config
         k = jax.random.PRNGKey(seed)
         ks = jax.random.split(k, 8)
         t, f = c.audiomae.grid_size
+
+        def init_of(module, *args):
+            return lambda rng: module.init(rng, *args)
+
+        specs = {
+            "clap": init_of(self.clap, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)),
+            "t5": init_of(self.t5, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)),
+            "gpt2": init_of(self.gpt2, jnp.zeros((1, 4, c.gpt2.n_embd))),
+            "projection": init_of(
+                self.projection,
+                jnp.zeros((1, 1, c.projection.text_encoder_dim)),
+                jnp.zeros((1, 4, c.projection.text_encoder_1_dim)),
+                jnp.ones((1, 1), jnp.int32),
+                jnp.ones((1, 4), jnp.int32),
+            ),
+            "audiomae": init_of(self.audiomae, jnp.zeros((1, *c.audiomae.img_size)), t, f),
+            "unet": init_of(
+                self.unet,
+                jnp.zeros((1, 8, 8, c.unet.in_channels)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, c.unet.adapter_num_tokens + 4, c.unet.adapter_cross_attention_dim)),
+                jnp.zeros((1, 4, [d for d in c.unet.cross_attention_dims if d][-1])),
+                None,
+                0.0,
+            ),
+            "vae": init_of(
+                self.vae,
+                jnp.zeros((1, 4 * c.vae.scale_factor, 4 * c.vae.scale_factor, c.vae.in_channels)),
+                jax.random.PRNGKey(0),
+            ),
+            "vocoder": init_of(self.vocoder, jnp.zeros((1, 8, c.vocoder.model_in_dim))),
+        }
         params = {}
-        params["clap"] = self.clap.init(
-            ks[0], jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)
-        )["params"]
-        params["t5"] = self.t5.init(
-            ks[1], jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)
-        )["params"]
-        params["gpt2"] = self.gpt2.init(
-            ks[2], jnp.zeros((1, 4, c.gpt2.n_embd))
-        )["params"]
-        params["projection"] = self.projection.init(
-            ks[3],
-            jnp.zeros((1, 1, c.projection.text_encoder_dim)),
-            jnp.zeros((1, 4, c.projection.text_encoder_1_dim)),
-            jnp.ones((1, 1), jnp.int32),
-            jnp.ones((1, 4), jnp.int32),
-        )["params"]
-        params["audiomae"] = self.audiomae.init(
-            ks[4], jnp.zeros((1, *c.audiomae.img_size)), t, f
-        )["params"]
-        latent_hw = (8 * c.vae.scale_factor, 8 * c.vae.scale_factor)
-        params["unet"] = self.unet.init(
-            ks[5],
-            jnp.zeros((1, 8, 8, c.unet.in_channels)),
-            jnp.zeros((1,)),
-            jnp.zeros((1, c.unet.adapter_num_tokens + 4, c.unet.adapter_cross_attention_dim)),
-            jnp.zeros((1, 4, [d for d in c.unet.cross_attention_dims if d][-1])),
-            None,
-            0.0,
-        )["params"]
-        params["vae"] = self.vae.init(
-            ks[6], jnp.zeros((1, 4 * c.vae.scale_factor, 4 * c.vae.scale_factor, c.vae.in_channels)), ks[6]
-        )["params"]
-        params["vocoder"] = self.vocoder.init(
-            ks[7], jnp.zeros((1, 8, c.vocoder.model_in_dim))
-        )["params"]
+        for i, (name, fn) in enumerate(specs.items()):
+            if fast:
+                params[name] = fast_init(lambda rng: fn(rng), seed=seed + i)["params"]
+            else:
+                params[name] = fn(ks[i])["params"]
         return params
 
     # ------------------------------------------------------------------
