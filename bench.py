@@ -26,9 +26,20 @@ SECONDS = 10.0
 
 
 def main() -> None:
+    import os
+
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from ap_adapter_tpu.configs import PipelineConfig
     from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline
