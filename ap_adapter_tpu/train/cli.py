@@ -1,0 +1,99 @@
+"""Training CLI mirroring the reference launchers (train.sh / finetune.sh).
+
+    python -m ap_adapter_tpu.train.cli \
+        --train-manifest $DATA_DIR/manifest.json \
+        --checkpoint-dir /path/to/converted \
+        --output-dir $OUTPUT_DIR \
+        --train-batch-size 8 --gradient-accumulation-steps 4 \
+        --learning-rate 1e-4 --max-train-steps 35000
+
+Resume from a flat adapter checkpoint with --resume-from-checkpoint
+(reference finetune.sh); without it the adapter is zero-delta initialized by
+copying each site's frozen to_k/to_v (reference copy_weight.py +
+copied_cross_attention/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="AP-adapter TPU finetuning")
+    p.add_argument("--train-manifest", required=True, help="AudioSet-style JSON manifest")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--checkpoint-dir", default="", help="converted model params dir")
+    p.add_argument("--output-dir", default="ap_adapter_output")
+    p.add_argument("--train-batch-size", type=int, default=8)
+    p.add_argument("--gradient-accumulation-steps", type=int, default=4)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--scale-lr", action="store_true")
+    p.add_argument("--adam-beta1", type=float, default=0.9)
+    p.add_argument("--adam-beta2", type=float, default=0.999)
+    p.add_argument("--adam-weight-decay", type=float, default=1e-2)
+    p.add_argument("--adam-epsilon", type=float, default=1e-8)
+    p.add_argument("--max-grad-norm", type=float, default=1.0)
+    p.add_argument("--max-train-steps", type=int, default=35_000)
+    p.add_argument("--checkpointing-steps", type=int, default=3000)
+    p.add_argument("--validation-steps", type=int, default=3000)
+    p.add_argument("--duration", type=float, default=10.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--snr-gamma", type=float, default=None)
+    p.add_argument("--resume-from-checkpoint", default=None,
+                   help="flat adapter dict (.npz or torch .bin)")
+    p.add_argument("--random-weights", action="store_true",
+                   help="random base weights (pipeline smoke mode)")
+    args = p.parse_args(argv)
+
+    from ap_adapter_tpu.configs import PipelineConfig
+    from ap_adapter_tpu.adapter.params import import_flat_adapter, init_adapter_from_text_kv
+    from ap_adapter_tpu.parallel import mesh as mesh_lib
+    from ap_adapter_tpu.pipeline.pipeline import PipelineModules
+    from ap_adapter_tpu.pipeline.tasks import load_pipeline, _load_flat_adapter
+    from ap_adapter_tpu.train.data import AudioSetDataset, DeviceCollate, data_loader
+    from ap_adapter_tpu.train.loop import train
+    from ap_adapter_tpu.train.trainer import TrainConfig
+
+    config = PipelineConfig()
+    pipe = load_pipeline(config, checkpoint_dir=args.checkpoint_dir or None)
+
+    if args.resume_from_checkpoint:
+        flat = _load_flat_adapter(args.resume_from_checkpoint)
+        pipe.params["unet"] = import_flat_adapter(pipe.params["unet"], flat, config.unet)
+    else:
+        pipe.params["unet"] = init_adapter_from_text_kv(pipe.params["unet"], config.unet)
+
+    mesh = mesh_lib.create_mesh()
+    lr = args.learning_rate
+    if args.scale_lr:  # reference scale_lr multiplies by world size and accum
+        lr *= args.gradient_accumulation_steps * args.train_batch_size * len(mesh.devices.flat)
+
+    tc = TrainConfig(
+        learning_rate=lr,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        per_host_batch_size=args.train_batch_size,
+        max_train_steps=args.max_train_steps,
+        checkpointing_steps=args.checkpointing_steps,
+        validation_steps=args.validation_steps,
+        seed=args.seed,
+        snr_gamma=args.snr_gamma,
+    )
+
+    dataset = AudioSetDataset(
+        args.train_manifest, args.data_root, duration_s=args.duration, seed=args.seed
+    )
+    modules = pipe.modules
+    collate = DeviceCollate(modules, pipe.params, duration_s=args.duration, seed=args.seed)
+    batches = data_loader(dataset, args.train_batch_size, collate, seed=args.seed)
+
+    train(modules, pipe.params, batches, tc, args.output_dir, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,7 @@ class DeviceCollate:
         tokenizers: Optional[HFTokenizers] = None,
         duration_s: float = 10.0,
         seed: int = 0,
+        pool_choices: Tuple[int, ...] = POOL_CHOICES,
     ):
         self.modules = modules
         self.params = params
@@ -114,6 +115,7 @@ class DeviceCollate:
         self.config = modules.config
         self.target_frames = int(duration_s * self.config.mel.frames_per_second)
         self.rng = random.Random(seed)
+        self.pool_choices = pool_choices
         self._jitted: Dict[int, Any] = {}
 
     def _device_fn(self, pool: int):
@@ -143,7 +145,7 @@ class DeviceCollate:
         texts = [t for t, _ in examples]
         waves = np.stack([w for _, w in examples])
 
-        pool = self.rng.choice(POOL_CHOICES)
+        pool = self.rng.choice(self.pool_choices)
         audio_drop = np.zeros(len(examples), dtype=bool)
         for i in range(len(texts)):
             r = self.rng.random()

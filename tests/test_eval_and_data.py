@@ -1,0 +1,97 @@
+"""Eval metric math + dataset/collate + tokenizer + checkpoint IO tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ap_adapter_tpu.configs import tiny_pipeline_config
+from ap_adapter_tpu.eval.metrics import embedding_stats, fad, frechet_distance, cosine_similarity
+from ap_adapter_tpu.pipeline.pipeline import PipelineModules
+from ap_adapter_tpu.pipeline.tokenize import HashTokenizer, make_text_batch
+from ap_adapter_tpu.train.data import AudioSetDataset, DeviceCollate, AUDIOSET_TEMPLATES_SMALL
+from ap_adapter_tpu.utils.checkpoint import save_params, load_params
+
+
+def test_fad_zero_for_identical_and_positive_for_shifted(rng):
+    e1 = rng.standard_normal((200, 8))
+    assert abs(fad(e1, e1.copy())) < 1e-6
+    e2 = e1 + 3.0
+    d = fad(e1, e2)
+    assert d > 8.0 * 8.9  # |mu diff|^2 = 8 * 9 = 72 up to sampling noise
+
+
+def test_frechet_known_value():
+    # identical gaussians with different means: FAD = |mu1-mu2|^2
+    mu1, mu2 = np.zeros(4), np.ones(4) * 2.0
+    s = np.eye(4)
+    assert abs(frechet_distance(mu1, s, mu2, s) - 16.0) < 1e-8
+
+
+def test_cosine_similarity():
+    a = np.array([1.0, 0.0])
+    assert abs(cosine_similarity(a, a) - 1.0) < 1e-9
+    assert abs(cosine_similarity(a, np.array([0.0, 1.0]))) < 1e-9
+
+
+def test_hash_tokenizer_deterministic():
+    tok = HashTokenizer(vocab_size=100)
+    ids1, m1 = tok(["hello world", ""], 8)
+    ids2, _ = tok(["hello world", ""], 8)
+    np.testing.assert_array_equal(ids1, ids2)
+    assert ids1.shape == (2, 8)
+    assert m1[0].sum() == 4  # bos + 2 words + eos
+    assert m1[1].sum() == 2  # bos + eos (empty prompt)
+
+
+def test_dataset_and_collate(tmp_path, rng):
+    from scipy.io import wavfile
+
+    # build a tiny manifest with 3 clips
+    items = []
+    for i in range(3):
+        p = tmp_path / f"c{i}.wav"
+        wavfile.write(str(p), 16000, (rng.standard_normal(16000) * 8000).astype(np.int16))
+        items.append({"wav": str(p), "labels": f"instrument {i}"})
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({"data": items}))
+
+    ds = AudioSetDataset(str(manifest), duration_s=1.0, seed=0)
+    assert len(ds) == 3
+    text, wav = ds[0]
+    assert wav.shape == (16000,)
+    assert any(text == t.format("instrument 0") for t in AUDIOSET_TEMPLATES_SMALL)
+
+    import dataclasses
+
+    base = tiny_pipeline_config()
+    # tiny AudioMAE expects (64, 32) fbanks; match the fbank front-end to it
+    cfg = dataclasses.replace(
+        base, fbank=dataclasses.replace(base.fbank, target_frames=64, num_mel_bins=32)
+    )
+    modules = PipelineModules(cfg)
+    params = modules.init_params(seed=0)
+
+    # tiny token grid is (4, 2): restrict pooling to divisors
+    collate = DeviceCollate(modules, params, duration_s=1.0, seed=0, pool_choices=(1, 2))
+    batch = collate([ds[i] for i in range(2)])
+    assert batch["mel"].shape == (2, int(1.0 * cfg.mel.frames_per_second), cfg.mel.num_mel_bins, 1)
+    n_tokens = batch["generated_prompt_embeds"].shape[1]
+    assert n_tokens > cfg.gpt2.max_new_tokens  # GPT-2 tokens + audio tokens
+    assert np.all(np.isfinite(np.asarray(batch["mel"])))
+
+
+def test_save_load_params_roundtrip(tmp_path):
+    cfg = tiny_pipeline_config()
+    modules = PipelineModules(cfg)
+    params = modules.init_params(seed=0)
+    save_params(str(tmp_path), {"vocoder": params["vocoder"]})
+    loaded = load_params(str(tmp_path))
+    l0 = jax.tree_util.tree_leaves(params["vocoder"])
+    l1 = jax.tree_util.tree_leaves(loaded["vocoder"])
+    assert len(l0) == len(l1)
+    for a, b in zip(l0, l1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
