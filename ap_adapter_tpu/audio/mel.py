@@ -124,3 +124,70 @@ def wav_to_vae_mel(
     elif t > target_frames:
         mel = mel[..., :target_frames, :]
     return mel
+
+
+# ---------------------------------------------------------------------------
+# CLAP 48 kHz log-mel front-end (transformers ClapFeatureExtractor semantics)
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_htk_mel(f: np.ndarray) -> np.ndarray:
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _htk_mel_to_hz(m: np.ndarray) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_banks(
+    sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float,
+    htk: bool = False, norm_slaney: bool = True,
+) -> np.ndarray:
+    """Generic triangular mel filterbank [1+n_fft//2, n_mels] (librosa/HTK)."""
+
+    fftfreqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    to_mel = _hz_to_htk_mel if htk else _hz_to_slaney_mel
+    from_mel = _htk_mel_to_hz if htk else _slaney_mel_to_hz
+    pts = from_mel(np.linspace(to_mel(np.array(fmin)), to_mel(np.array(fmax)), n_mels + 2))
+
+    fdiff = np.diff(pts)
+    ramps = pts[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    if norm_slaney:
+        enorm = 2.0 / (pts[2 : n_mels + 2] - pts[:n_mels])
+        weights *= enorm[:, None]
+    return weights.T.astype(np.float32)
+
+
+def clap_log_mel(
+    waveform: jnp.ndarray,
+    sr: int = 48_000,
+    n_fft: int = 1024,
+    hop: int = 480,
+    n_mels: int = 64,
+    fmin: float = 0.0,
+    fmax: float = 14_000.0,
+    htk: bool = False,
+) -> jnp.ndarray:
+    """waveform [..., N] at 48 kHz -> dB log-mel [..., frames, n_mels].
+
+    Matches transformers ``ClapFeatureExtractor._np_extract_fbank_features``:
+    centered power spectrogram with periodic Hann, mel matmul, then
+    ``10*log10(max(x, 1e-10))``. Slaney filters (htk=False) correspond to the
+    extractor's non-fusion ("rand_trunc") path; htk=True to the fusion path.
+    """
+
+    pad = n_fft // 2
+    x = waveform.astype(jnp.float32)
+    pad_spec = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    x = jnp.pad(x, pad_spec, mode="reflect")
+    frames = frame_signal(x, n_fft, hop)
+    window = jnp.asarray(hanning_window(n_fft, periodic=True), dtype=jnp.float32)
+    spectrum = jnp.fft.rfft(frames * window, axis=-1)
+    power = jnp.square(jnp.real(spectrum)) + jnp.square(jnp.imag(spectrum))
+    banks = jnp.asarray(mel_banks(sr, n_fft, n_mels, fmin, fmax, htk=htk, norm_slaney=not htk))
+    mel = jnp.einsum("...tf,fm->...tm", power, banks, preferred_element_type=jnp.float32)
+    return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))

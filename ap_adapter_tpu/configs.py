@@ -141,6 +141,39 @@ class ClapTextConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ClapAudioConfig:
+    """CLAP audio tower (HTSAT Swin transformer) — used for CLAP-similarity
+    scoring/re-ranking (reference pipeline_audioldm2.py:592-614)."""
+
+    spec_size: int = 256
+    patch_size: int = 4
+    patch_stride: Tuple[int, int] = (4, 4)
+    patch_embeds_hidden_size: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    num_mel_bins: int = 64
+    layer_norm_eps: float = 1e-5
+    projection_dim: int = 512
+    # feature extractor (transformers ClapFeatureExtractor defaults)
+    sampling_rate: int = 48_000
+    n_fft: int = 1024
+    hop_length: int = 480
+    frequency_min: float = 50.0
+    frequency_max: float = 14_000.0
+    max_length_s: int = 10
+
+    @property
+    def freq_ratio(self) -> int:
+        return self.spec_size // self.num_mel_bins
+
+    @property
+    def hidden_size(self) -> int:
+        return self.patch_embeds_hidden_size * 2 ** (len(self.depths) - 1)
+
+
+@dataclasses.dataclass(frozen=True)
 class T5Config:
     """T5 encoder (flan-t5-large) — reference pipeline_audioldm2.py:413-418."""
 

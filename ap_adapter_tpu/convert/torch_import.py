@@ -417,3 +417,58 @@ def vocoder_params(sd: StateDict, config) -> Dict:
                 rb[f"convs2_{m}"] = t_conv1d(sd, f"resblocks.{flat}.convs2.{m}")
             params[f"resblock_{i}_{j}"] = rb
     return params
+
+
+# ---------------------------------------------------------------------------
+# CLAP audio tower (HF ClapAudioModel[-WithProjection] / ClapModel audio side)
+# ---------------------------------------------------------------------------
+
+
+def clap_audio_params(sd: StateDict, config) -> Dict:
+    """Map HF CLAP audio-encoder + projection weights to ClapAudioTower."""
+
+    pre = ""
+    for cand in ("audio_model.audio_encoder.", "audio_encoder."):
+        if any(k.startswith(cand) for k in sd):
+            pre = cand
+            break
+
+    enc: Dict = {
+        "bn_scale": sd[pre + "batch_norm.weight"],
+        "bn_bias": sd[pre + "batch_norm.bias"],
+        "bn_mean": sd[pre + "batch_norm.running_mean"],
+        "bn_var": sd[pre + "batch_norm.running_var"],
+        "patch_proj": t_conv2d(sd, pre + "patch_embed.proj"),
+        "patch_norm": t_norm(sd, pre + "patch_embed.norm"),
+        "norm": t_norm(sd, pre + "norm"),
+    }
+    for si, depth in enumerate(config.depths):
+        for bi in range(depth):
+            p = f"{pre}layers.{si}.blocks.{bi}"
+            enc[f"stage_{si}_block_{bi}"] = {
+                "layernorm_before": t_norm(sd, f"{p}.layernorm_before"),
+                "attention": {
+                    "query": t_linear(sd, f"{p}.attention.self.query"),
+                    "key": t_linear(sd, f"{p}.attention.self.key"),
+                    "value": t_linear(sd, f"{p}.attention.self.value"),
+                    "relative_position_bias_table": sd[
+                        f"{p}.attention.self.relative_position_bias_table"
+                    ],
+                    "output": t_linear(sd, f"{p}.attention.output.dense"),
+                },
+                "layernorm_after": t_norm(sd, f"{p}.layernorm_after"),
+                "intermediate": t_linear(sd, f"{p}.intermediate.dense"),
+                "mlp_output": t_linear(sd, f"{p}.output.dense"),
+            }
+        if si < len(config.depths) - 1:
+            p = f"{pre}layers.{si}.downsample"
+            enc[f"stage_{si}_downsample"] = {
+                "norm": t_norm(sd, f"{p}.norm"),
+                "reduction": t_linear(sd, f"{p}.reduction", bias=False),
+            }
+
+    return {
+        "encoder": enc,
+        "projection_1": t_linear(sd, "audio_projection.linear1"),
+        "projection_2": t_linear(sd, "audio_projection.linear2"),
+    }
