@@ -82,3 +82,40 @@ def test_clap_log_mel_matches_hf_extractor(rng):
     got = np.asarray(clap_log_mel(jnp.asarray(wav.astype(np.float32))))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=2e-3)
+
+
+def test_clap_scorer_rank(rng):
+    """End-to-end scorer with random weights: shapes + deterministic ranking."""
+
+    import jax
+    from ap_adapter_tpu.configs import ClapTextConfig
+    from ap_adapter_tpu.eval.clap_scoring import ClapScorer
+    from ap_adapter_tpu.models.clap import ClapTextEncoder
+    from ap_adapter_tpu.models.clap_audio import ClapAudioTower
+    from ap_adapter_tpu.utils.init import fast_init
+
+    tcfg = ClapTextConfig(
+        vocab_size=50, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, max_position_embeddings=32, projection_dim=8,
+        max_length=8,
+    )
+    acfg = ClapAudioConfig(
+        spec_size=64, patch_size=4, patch_stride=(4, 4), patch_embeds_hidden_size=8,
+        depths=(1, 1), num_heads=(2, 2), window_size=4, num_mel_bins=16,
+        mlp_ratio=1.0, projection_dim=8, sampling_rate=8000, hop_length=80,
+        n_fft=256, max_length_s=1,
+    )
+    import jax.numpy as jnp2
+    tparams = fast_init(lambda k: ClapTextEncoder(tcfg).init(
+        k, jnp2.ones((1, 4), jnp2.int32), jnp2.ones((1, 4), jnp2.int32)))["params"]
+    aparams = fast_init(lambda k: ClapAudioTower(acfg).init(
+        k, jnp2.zeros((1, 1, 101, 16))))["params"]
+
+    scorer = ClapScorer(tcfg, acfg, {"text": tparams, "audio": aparams})
+    ids = np.ones((1, 8), np.int32) * 3
+    mask = np.ones((1, 8), np.int32)
+    wavs = [rng.standard_normal(8000).astype(np.float32) * 0.1 for _ in range(3)]
+    order = scorer.rank(ids, mask, wavs, 8000)
+    assert sorted(order.tolist()) == [0, 1, 2]
+    order2 = scorer.rank(ids, mask, wavs, 8000)
+    np.testing.assert_array_equal(order, order2)
