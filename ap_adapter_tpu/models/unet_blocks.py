@@ -62,6 +62,42 @@ class Downsample2D(nn.Module):
         )(x)
 
 
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=64)
+def _nearest_select_matrix(n_in: int, n_out: int) -> _np.ndarray:
+    """0/1 selection matrix [n_out, n_in]: out[i] = in[floor(i*n_in/n_out)].
+
+    Matches torch/jax nearest-neighbor interpolation. Applied as a matmul so
+    upsampling stays on the MXU instead of lowering to a TPU-hostile gather.
+    """
+
+    idx = (_np.arange(n_out) * n_in) // n_out
+    m = _np.zeros((n_out, n_in), dtype=_np.float32)
+    m[_np.arange(n_out), idx] = 1.0
+    return m
+
+
+def nearest_resize_2d(x: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    """Nearest-neighbor resize of [B, H, W, C] to (th, tw), gather-free."""
+
+    b, h, w, c = x.shape
+    if th == 2 * h and tw == 2 * w:
+        # exact 2x: broadcast-repeat (cheapest path, identical to nearest)
+        x = jnp.repeat(x, 2, axis=1)
+        return jnp.repeat(x, 2, axis=2)
+    if th != h:
+        m = jnp.asarray(_nearest_select_matrix(h, th), dtype=x.dtype)
+        x = jnp.einsum("oh,bhwc->bowc", m, x)
+    if tw != w:
+        m = jnp.asarray(_nearest_select_matrix(w, tw), dtype=x.dtype)
+        x = jnp.einsum("ow,bhwc->bhoc", m, x)
+    return x
+
+
 class Upsample2D(nn.Module):
     """Nearest 2x (or to an explicit ``output_size`` — diffusers passes the
     next skip's spatial dims when shapes are odd) followed by a 3x3 conv."""
@@ -73,7 +109,7 @@ class Upsample2D(nn.Module):
     def __call__(self, x: jnp.ndarray, output_size=None) -> jnp.ndarray:
         b, h, w, c = x.shape
         th, tw = output_size if output_size is not None else (h * 2, w * 2)
-        x = jax.image.resize(x, (b, th, tw, c), method="nearest")
+        x = nearest_resize_2d(x, th, tw)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

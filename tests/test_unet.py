@@ -253,3 +253,15 @@ def test_unet_adapter_param_count(tiny_unet):
     # adapted sites: down blocks 1,2,3 (1 layer) + mid + up blocks 0,1,2 (2 layers)
     # = (3*1 + 1 + 3*2) * 1 transformer block * 2 (k,v) = 20
     assert len(ip) == 20
+
+
+def test_nearest_resize_matches_torch(rng):
+    from ap_adapter_tpu.models.unet_blocks import nearest_resize_2d
+
+    for (h, w, th, tw) in [(32, 2, 63, 4), (63, 4, 125, 8), (125, 8, 250, 16), (5, 3, 10, 6)]:
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(th, tw), mode="nearest"
+        ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(nearest_resize_2d(jnp.asarray(x), th, tw))
+        np.testing.assert_allclose(got, want, atol=0)
