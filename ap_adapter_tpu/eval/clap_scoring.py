@@ -33,7 +33,7 @@ class ClapScorer:
     ):
         self.text_config = text_config
         self.audio_config = audio_config
-        self.params = params
+        self.params = jax.device_put(params)  # commit to device once
         self.text_model = ClapTextEncoder(text_config)
         self.audio_model = ClapAudioTower(audio_config)
         self._audio_fn = jax.jit(

@@ -241,9 +241,14 @@ class PipelineModules:
 class AudioLDM2Pipeline:
     """User-facing pipeline: owns params, jits generate per shape bucket."""
 
-    def __init__(self, config: PipelineConfig, params: Dict[str, Any]):
+    def __init__(self, config: PipelineConfig, params: Dict[str, Any], device=None):
         self.config = config
         self.modules = PipelineModules(config)
+        # commit params to device once — host (numpy) leaves would otherwise be
+        # re-transferred on every jitted call (catastrophic through a relay)
+        if params:
+            device = device or jax.devices()[0]
+            params = jax.device_put(params, device)
         self.params = params
         self._jitted: Dict[Tuple, Any] = {}
 

@@ -38,11 +38,17 @@ def train(
     mesh=None,
     max_steps: Optional[int] = None,
     log_every: int = 50,
+    validation_fn=None,
 ) -> TrainState:
     """Run adapter finetuning. ``batches`` yields collated device batches.
 
     Returns the final TrainState; writes rotating checkpoints plus the flat
     adapter dict (reference-format keys) to <output_dir>/pytorch_model.npz.
+
+    ``validation_fn(step, unet_params)`` runs every ``tc.validation_steps``
+    with the merged (frozen + current adapter) UNet params — the hook for
+    validation sampling (reference log_validation,
+    train_apadapter_v2.py:483-528).
     """
 
     os.makedirs(output_dir, exist_ok=True)
@@ -78,5 +84,8 @@ def train(
             merged = merge_unet_params(jax.device_get(state.adapter), jax.device_get(frozen_unet))
             flat = export_flat_adapter(merged, modules.config.unet)
             save_flat_adapter(os.path.join(output_dir, "pytorch_model.npz"), flat)
+
+        if validation_fn is not None and step % tc.validation_steps == 0:
+            validation_fn(step, merge_unet_params(state.adapter, frozen_unet))
 
     return state
