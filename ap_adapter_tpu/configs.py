@@ -244,6 +244,10 @@ class UNetConfig:
     adapter_cross_attention_dim: int = 768  # only 768-dim sites get the adapter
     adapter_num_tokens: int = 8  # first 8 tokens = GPT-2, rest = AudioMAE
     use_pallas_attention: bool = False  # fused dual-KV kernel (TPU only)
+    # class embedding (AudioLDM v1: CLAP embedding as "simple_projection"
+    # class label concatenated with the time embedding)
+    class_embed_dim: Optional[int] = None
+    class_embeddings_concat: bool = False
 
     @property
     def time_embed_dim(self) -> int:

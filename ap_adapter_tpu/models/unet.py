@@ -42,6 +42,7 @@ class AudioLDM2UNet(nn.Module):
         encoder_hidden_states_1: jnp.ndarray,  # [B, S1, 1024] T5 stream
         encoder_attention_mask_1: Optional[jnp.ndarray] = None,  # [B, S1]
         ip_scale: jnp.ndarray | float = 0.0,
+        class_labels: Optional[jnp.ndarray] = None,  # [B, class_embed_dim]
     ) -> jnp.ndarray:
         c = self.config
         ch = c.block_out_channels
@@ -64,6 +65,17 @@ class AudioLDM2UNet(nn.Module):
         temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_1")(t_emb)
         temb = nn.silu(temb)
         temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_2")(temb)
+
+        if c.class_embed_dim is not None and class_labels is not None:
+            # "simple_projection" class embedding (AudioLDM v1:
+            # modeling path class_embed_type='simple_projection')
+            cemb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="class_embedding")(
+                class_labels.astype(self.dtype)
+            )
+            if c.class_embeddings_concat:
+                temb = jnp.concatenate([temb, cemb], axis=-1)
+            else:
+                temb = temb + cemb
 
         ehs0 = encoder_hidden_states.astype(self.dtype)
         ehs1 = encoder_hidden_states_1.astype(self.dtype)

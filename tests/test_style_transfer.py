@@ -53,3 +53,23 @@ def test_style_transfer_end_to_end(rng):
     )
     assert wavs.shape == (1, int(0.2 * cfg.vocoder.sampling_rate))
     assert np.all(np.isfinite(wavs))
+
+
+def test_audioldm_v1_pipeline(rng):
+    """CLAP-only v1 pipeline generates finite audio (tiny config)."""
+
+    from ap_adapter_tpu.pipeline.audioldm_v1 import AudioLDMv1Pipeline
+
+    cfg = tiny_pipeline_config()
+    pipe = AudioLDMv1Pipeline.from_random(cfg, seed=0)
+    b = 1
+    def text():
+        return TextBatch(
+            clap_ids=jnp.asarray(rng.integers(2, cfg.clap.vocab_size, (b, 6)), jnp.int32),
+            clap_mask=jnp.ones((b, 6), jnp.int32),
+            t5_ids=jnp.zeros((b, 1), jnp.int32),
+            t5_mask=jnp.ones((b, 1), jnp.int32),
+        )
+    wav = pipe.generate(text(), text(), audio_length_in_s=0.2, num_inference_steps=2)
+    assert wav.shape == (1, int(0.2 * cfg.vocoder.sampling_rate))
+    assert np.all(np.isfinite(wav))
