@@ -335,3 +335,48 @@ class AudioLDM2Pipeline:
 
         samples = int(audio_length_in_s * c.vocoder.sampling_rate)
         return np.asarray(wav)[:, :samples]
+
+    def generate_ranked(
+        self,
+        text_pos: TextBatch,
+        text_neg: TextBatch,
+        fbank: Optional[jnp.ndarray] = None,
+        *,
+        num_waveforms_per_prompt: int = 1,
+        scorer=None,
+        **kwargs,
+    ) -> np.ndarray:
+        """Generate N candidates per prompt and (optionally) re-rank them by
+        CLAP text-audio similarity, best first — the reference's
+        ``num_waveforms_per_prompt`` + ``score_waveforms`` behavior
+        (pipeline_audioldm2.py:592-614, 1047-1054). ``scorer`` is an
+        eval.clap_scoring.ClapScorer; without one, generation order is kept.
+
+        Returns [B * num_waveforms_per_prompt, samples], grouped per prompt.
+        """
+
+        n = num_waveforms_per_prompt
+        if n > 1:
+            def tile(x):
+                return jnp.repeat(x, n, axis=0)
+
+            text_pos = jax.tree_util.tree_map(tile, text_pos)
+            text_neg = jax.tree_util.tree_map(tile, text_neg)
+            if fbank is not None:
+                fbank = jnp.repeat(jnp.asarray(fbank), n, axis=0)
+        base_seed = kwargs.pop("seed", 0)
+        wavs = self.generate(text_pos, text_neg, fbank, seed=base_seed, **kwargs)
+
+        if scorer is None or n == 1:
+            return wavs
+
+        sr = self.config.vocoder.sampling_rate
+        out = np.empty_like(wavs)
+        b = wavs.shape[0] // n
+        for i in range(b):
+            group = wavs[i * n : (i + 1) * n]
+            ids = np.asarray(text_pos.clap_ids[i * n : i * n + 1])
+            mask = np.asarray(text_pos.clap_mask[i * n : i * n + 1])
+            order = scorer.rank(ids, mask, list(group), sr)
+            out[i * n : (i + 1) * n] = group[order]
+        return out

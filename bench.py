@@ -20,7 +20,7 @@ import json
 import time
 
 A100_BASELINE_CLIPS_PER_S = 0.25
-BATCH = 4
+BATCH = 8
 STEPS = 50
 SECONDS = 10.0
 
