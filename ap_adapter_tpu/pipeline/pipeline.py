@@ -32,6 +32,23 @@ from ap_adapter_tpu.models.vae import AutoencoderKL
 from ap_adapter_tpu.models.vocoder import HiFiGAN
 
 
+def cast_params_to(params, dtype):
+    """Cast floating-point param leaves to the compute dtype.
+
+    For inference, weights stored in bf16 halve HBM traffic AND avoid
+    re-casting 740M fp32 params on every step of the denoise scan (XLA does
+    not hoist loop-invariant casts out of while loops). Training keeps fp32
+    masters; this is an inference-serving optimization.
+    """
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)
+
+
 @flax.struct.dataclass
 class TextBatch:
     """Tokenized prompts (host-side tokenization, padded to fixed lengths)."""
@@ -253,9 +270,14 @@ class AudioLDM2Pipeline:
         self._jitted: Dict[Tuple, Any] = {}
 
     @classmethod
-    def from_random(cls, config: PipelineConfig, seed: int = 0) -> "AudioLDM2Pipeline":
+    def from_random(
+        cls, config: PipelineConfig, seed: int = 0, cast_params: bool = True
+    ) -> "AudioLDM2Pipeline":
         modules = PipelineModules(config)
-        return cls(config, modules.init_params(seed))
+        params = modules.init_params(seed)
+        if cast_params:
+            params = cast_params_to(params, config.dtype)
+        return cls(config, params)
 
     # -- host-side helpers ------------------------------------------------
 

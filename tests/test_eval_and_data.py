@@ -95,3 +95,43 @@ def test_save_load_params_roundtrip(tmp_path):
     assert len(l0) == len(l1)
     for a, b in zip(l0, l1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_task_text_only(tmp_path, rng):
+    """Task API end-to-end on the tiny config (no audio prompt)."""
+
+    from ap_adapter_tpu.configs import TaskConfig, get_task_config
+    from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline
+    from ap_adapter_tpu.pipeline.tasks import run_task
+
+    cfg = tiny_pipeline_config()
+    pipe = AudioLDM2Pipeline.from_random(cfg, seed=0)
+    task = get_task_config(
+        "timbre_transfer",
+        output_dir=str(tmp_path),
+        num_files=1,
+        num_inference_steps=2,
+        audio_length_in_s=0.2,
+        positive_text_prompts=("piano",),
+        negative_text_prompts=("noise",),
+    )
+    paths = run_task(task, pipe)
+    assert len(paths) == 1
+    import os
+    assert os.path.exists(paths[0])
+    from ap_adapter_tpu.audio.io import load_wav
+    wav, sr = load_wav(paths[0])
+    assert sr == cfg.vocoder.sampling_rate
+    assert wav.shape[0] == int(0.2 * sr)
+
+
+def test_get_task_config_templates():
+    from ap_adapter_tpu.configs import get_task_config
+
+    t = get_task_config("style_transfer")
+    assert t.ap_scale == 0.55 and t.time_pooling == 4 and t.guidance_scale == 9.5
+    t = get_task_config("timbre_transfer")
+    assert t.ap_scale == 0.5 and t.time_pooling == 2 and t.guidance_scale == 7.5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        get_task_config("nope")
