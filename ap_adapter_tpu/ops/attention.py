@@ -67,6 +67,15 @@ def dual_kv_attention(
     return out_text + scale * out_ip
 
 
+def strip_adapter_tokens(context: jnp.ndarray, num_tokens: int) -> jnp.ndarray:
+    """ControlNet-style context: drop the trailing ``num_tokens`` adapter
+    tokens and attend text-only — the behavior of the reference's
+    ``CNAttnProcessor(2_0)`` (attention_processor.py:473-623, unused by any
+    entry point but part of the API surface)."""
+
+    return context[:, : context.shape[1] - num_tokens]
+
+
 def mask_to_bias(mask: Optional[jnp.ndarray], num_query: int) -> Optional[jnp.ndarray]:
     """[B, Sk] {0,1} padding mask -> [B, 1, 1, Sk] additive fp32 bias.
 

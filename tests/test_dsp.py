@@ -183,3 +183,13 @@ def test_normalize_wav():
     y = np.asarray(normalize_wav(x))
     assert abs(y.mean()) < 1e-7
     np.testing.assert_allclose(np.abs(y).max(), 0.5, rtol=1e-6)
+
+
+def test_strip_adapter_tokens():
+    import jax.numpy as jnp
+    from ap_adapter_tpu.ops.attention import strip_adapter_tokens
+
+    ctx = jnp.arange(24.0).reshape(1, 6, 4)
+    out = strip_adapter_tokens(ctx, 2)
+    assert out.shape == (1, 4, 4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ctx[:, :4]))
