@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ap_adapter_tpu.ops.attention import sdpa
+from ap_adapter_tpu.ops.attention import sdpa, self_attention
 
 
 class ResnetBlock2D(nn.Module):
@@ -175,6 +175,9 @@ class CrossAttention(nn.Module):
                     out = out + jnp.asarray(ip_scale, self.dtype) * sdpa(q, ki, vi)
             else:
                 out = sdpa(q, k, v, mask=mask_bias)
+        elif not is_cross and mask_bias is None:
+            # self-attention: flash kernel for long sequences (TPU)
+            out = self_attention(q, k, v)
         else:
             out = sdpa(q, k, v, mask=mask_bias)
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ap_adapter_tpu.configs import VAEConfig
 from ap_adapter_tpu.models.unet_blocks import ResnetBlock2D, Upsample2D
-from ap_adapter_tpu.ops.attention import sdpa
+from ap_adapter_tpu.ops.attention import self_attention
 
 
 class VAEAttention(nn.Module):
@@ -33,7 +33,7 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
-        out = sdpa(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
+        out = self_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
         out = out.reshape(b, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
         return out.reshape(b, h, w, c) + x

@@ -46,6 +46,56 @@ def sdpa(
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+def _on_tpu() -> bool:
+    try:
+        import jax.extend as jex
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+_FLASH_MIN_SEQ = 512
+
+
+def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Self-attention [B, S, H, D] that routes long sequences to the TPU
+    flash-attention Pallas kernel.
+
+    The XLA path materializes fp32 [B,H,S,S] logits in HBM — at S=1000,
+    B*H=128 that is ~0.5 GB per site and makes the UNet DMA-bound (profiled:
+    ~0.8 ms per 1000-token site). Flash keeps the running softmax in VMEM.
+    Sequences are padded to a multiple of 512 and masked via segment ids.
+    """
+
+    b, s, h, d = q.shape
+    if s < _FLASH_MIN_SEQ or not _on_tpu():
+        return sdpa(q, k, v)
+
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    spad = ((s + 511) // 512) * 512
+    pad = spad - s
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, S, D]
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x
+
+    qt, kt, vt = prep(q), prep(k), prep(v)
+    if pad:
+        seg = jnp.concatenate(
+            [jnp.ones((b, s), jnp.int32), jnp.full((b, pad), 2, jnp.int32)], axis=1
+        )
+        segment_ids = fa.SegmentIds(seg, seg)
+    else:
+        segment_ids = None
+    out = fa.flash_attention(qt, kt, vt, segment_ids=segment_ids, sm_scale=float(d) ** -0.5)
+    out = out[:, :, :s]
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
+
+
 def dual_kv_attention(
     q: jnp.ndarray,
     k_text: jnp.ndarray,
