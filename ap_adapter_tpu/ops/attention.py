@@ -56,20 +56,20 @@ def _on_tpu() -> bool:
 
 
 _FLASH_MIN_SEQ = 512
+# Measured end-to-end on v5e (r1): routing the UNet's 1000-token self-attention
+# through the generic TPU flash kernel REGRESSED 1.09 -> 0.51 clips/s — the
+# head_dims here (32/48/80) pad to 128 lanes inside the kernel, wasting most
+# of the MXU, while XLA's materialized softmax streams well. Flash routing is
+# therefore opt-in; a head-dim-packed custom kernel is the round-2 follow-up.
+_FLASH_ENABLED = False
 
 
 def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Self-attention [B, S, H, D] that routes long sequences to the TPU
-    flash-attention Pallas kernel.
-
-    The XLA path materializes fp32 [B,H,S,S] logits in HBM — at S=1000,
-    B*H=128 that is ~0.5 GB per site and makes the UNet DMA-bound (profiled:
-    ~0.8 ms per 1000-token site). Flash keeps the running softmax in VMEM.
-    Sequences are padded to a multiple of 512 and masked via segment ids.
-    """
+    """Self-attention [B, S, H, D]; optionally routes long sequences to the
+    TPU flash-attention Pallas kernel (see _FLASH_ENABLED note)."""
 
     b, s, h, d = q.shape
-    if s < _FLASH_MIN_SEQ or not _on_tpu():
+    if not _FLASH_ENABLED or s < _FLASH_MIN_SEQ or not _on_tpu():
         return sdpa(q, k, v)
 
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
