@@ -35,14 +35,19 @@ def sdpa(
     dtype = q.dtype
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * scale
+    # store logits in the input precision for half-precision models: the
+    # [B,H,Sq,Sk] tensor is the dominant HBM traffic at long Sq (profiled
+    # ~0.5 GB/site fp32 at Sq=1000); the MXU still accumulates in fp32 and
+    # the softmax below is computed in fp32.
+    acc = jnp.float32 if dtype == jnp.float32 else dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=acc)
+    logits = logits * jnp.asarray(scale, acc)
     if mask is not None:
         if mask.dtype == jnp.bool_:
-            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+            logits = jnp.where(mask, logits, jnp.asarray(jnp.finfo(jnp.float32).min, acc))
         else:
-            logits = logits + mask.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+            logits = logits + mask.astype(acc)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
