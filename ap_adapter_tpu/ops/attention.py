@@ -60,45 +60,26 @@ def _on_tpu() -> bool:
         return False
 
 
-_FLASH_MIN_SEQ = 512
-# Measured end-to-end on v5e (r1): routing the UNet's 1000-token self-attention
-# through the generic TPU flash kernel REGRESSED 1.09 -> 0.51 clips/s — the
-# head_dims here (32/48/80) pad to 128 lanes inside the kernel, wasting most
-# of the MXU, while XLA's materialized softmax streams well. Flash routing is
-# therefore opt-in; a head-dim-packed custom kernel is the round-2 follow-up.
-_FLASH_ENABLED = False
+_PALLAS_SELF_MIN_SEQ = 512
+# Kernel selection, measured end-to-end on v5e (r1):
+#  * generic jax flash_attention kernel: 1.09 -> 0.51 clips/s REGRESSION
+#    (head_dims 32/48/80 pad to 128 lanes; block pipeline loses at these sizes);
+#  * ops/pallas_self_attention (whole-KV-in-VMEM single pass): 1.07 ms vs
+#    1.32 ms XLA per 1000-token site — routed in for S >= 512 only; at
+#    smaller S the d-padding makes it slower than XLA's streamed softmax.
 
 
 def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Self-attention [B, S, H, D]; optionally routes long sequences to the
-    TPU flash-attention Pallas kernel (see _FLASH_ENABLED note)."""
+    """Self-attention [B, S, H, D]; long sequences use the single-pass
+    whole-KV Pallas kernel on TPU (see selection note above)."""
 
     b, s, h, d = q.shape
-    if not _FLASH_ENABLED or s < _FLASH_MIN_SEQ or not _on_tpu():
+    if s < _PALLAS_SELF_MIN_SEQ or not _on_tpu():
         return sdpa(q, k, v)
 
-    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    from ap_adapter_tpu.ops.pallas_self_attention import pallas_self_attention
 
-    spad = ((s + 511) // 512) * 512
-    pad = spad - s
-
-    def prep(x):
-        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, S, D]
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        return x
-
-    qt, kt, vt = prep(q), prep(k), prep(v)
-    if pad:
-        seg = jnp.concatenate(
-            [jnp.ones((b, s), jnp.int32), jnp.full((b, pad), 2, jnp.int32)], axis=1
-        )
-        segment_ids = fa.SegmentIds(seg, seg)
-    else:
-        segment_ids = None
-    out = fa.flash_attention(qt, kt, vt, segment_ids=segment_ids, sm_scale=float(d) ** -0.5)
-    out = out[:, :, :s]
-    return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
+    return pallas_self_attention(q, k, v, tile_q=256)
 
 
 def dual_kv_attention(

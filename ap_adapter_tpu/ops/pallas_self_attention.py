@@ -1,0 +1,80 @@
+"""Single-pass self-attention Pallas kernel for moderate sequence lengths.
+
+The UNet's hot self-attention sites (S=1000, head_dim 32) fit their ENTIRE
+K/V in VMEM, so no flash-style KV blocking is needed: one kernel computes
+logits, softmax and PV per query tile entirely on-chip. The XLA path makes
+three HBM passes over the [B,H,S,S] logits tensor (write logits+max, read for
+exp-sum, read for normalize+PV — profiled at ~1.1 ms/site at S=1000,
+B*H=128); this kernel reads q/k/v once and writes the output once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int, sm_scale: float):
+    q = q_ref[0].astype(jnp.float32)  # [BQ, Dp]
+    k = k_ref[0].astype(jnp.float32)  # [Sp, Dp]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # [BQ, Sp]
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < s_valid, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def pallas_self_attention(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    tile_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Unmasked self-attention; K/V held fully in VMEM per (batch*head)."""
+
+    b, s, h, d = q.shape
+    dtype = q.dtype
+    sm_scale = float(d) ** -0.5
+
+    dp = _round_up(d, 128)
+    sp = _round_up(s, tile_q)
+
+    def to_bh(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        return jnp.pad(x, ((0, 0), (0, sp - s), (0, dp - d)))
+
+    qp, kp, vp = to_bh(q), to_bh(k), to_bh(v)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, s_valid=s, sm_scale=sm_scale),
+        grid=(b * h, sp // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, dp), dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    out = out[:, :s, :d].reshape(b, h, s, d)
+    return jnp.transpose(out, (0, 2, 1, 3))

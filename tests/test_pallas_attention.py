@@ -34,3 +34,21 @@ def test_fused_matches_xla(rng, shape):
     ))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 2, 32), (1, 100, 4, 48)])
+def test_pallas_self_attention_matches_xla(rng, shape):
+    from ap_adapter_tpu.ops.pallas_self_attention import pallas_self_attention
+
+    b, s, h, d = shape
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    want = np.asarray(dual_kv_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(k), jnp.asarray(v), 0.0,
+    ))
+    got = np.asarray(pallas_self_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), tile_q=128, interpret=True
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
