@@ -8,7 +8,7 @@ both towers run in JAX (models/clap.py + models/clap_audio.py).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ PyTorch checkpoints convert 1:1 (convert/torch_import.py).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -53,8 +53,6 @@ def sdpa(
 
 def _on_tpu() -> bool:
     try:
-        import jax.extend as jex
-
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
@@ -83,9 +81,9 @@ def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     if s < _PALLAS_SELF_MIN_SEQ or not fits or not _on_tpu():
         return sdpa(q, k, v)
 
-    from ap_adapter_tpu.ops.pallas_self_attention import pallas_self_attention
+    from ap_adapter_tpu.ops.pallas_self_attention import pallas_self_attention_vjp
 
-    return pallas_self_attention(q, k, v, tile_q=256)
+    return pallas_self_attention_vjp(q, k, v)
 
 
 def dual_kv_attention(

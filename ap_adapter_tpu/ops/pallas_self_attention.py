@@ -78,3 +78,40 @@ def pallas_self_attention(
 
     out = out[:, :s, :d].reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: Pallas forward, XLA backward (training path)
+# ---------------------------------------------------------------------------
+
+
+def _xla_reference(q, k, v):
+    """Mathematically identical XLA formulation (for the backward pass)."""
+
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    probs = jax.nn.softmax(logits * (float(d) ** -0.5), axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@jax.custom_vjp
+def pallas_self_attention_vjp(q, k, v):
+    """pallas_self_attention with reverse-mode support: the adapter trainer
+    differentiates through every UNet activation even though only adapter
+    grads are kept, so the kernel needs a VJP; the backward pass reuses the
+    XLA attention (correct, and training-only)."""
+
+    return pallas_self_attention(q, k, v, tile_q=256)
+
+
+def _fwd(q, k, v):
+    return pallas_self_attention(q, k, v, tile_q=256), (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_reference, q, k, v)
+    return vjp(g)
+
+
+pallas_self_attention_vjp.defvjp(_fwd, _bwd)

@@ -10,8 +10,6 @@ blocks run pure self-attention. Shares the DDIM scan, VAE and vocoder.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ import numpy as np
 
 from ap_adapter_tpu.configs import PipelineConfig
 from ap_adapter_tpu.audio.fbank import audiomae_fbank
-from ap_adapter_tpu.diffusion.ddim import make_tables
 from ap_adapter_tpu.diffusion.sampling import ddim_sample_loop
 from ap_adapter_tpu.models.audiomae import AudioMAECondition
 from ap_adapter_tpu.models.clap import ClapTextEncoder

@@ -16,7 +16,6 @@ copied_cross_attention/).
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main(argv=None):

@@ -14,13 +14,12 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ap_adapter_tpu.configs import PipelineConfig
 from ap_adapter_tpu.audio.dsp import resample
 from ap_adapter_tpu.audio.fbank import audiomae_fbank
 from ap_adapter_tpu.audio.io import load_wav

@@ -13,7 +13,6 @@ import time
 from typing import Any, Dict, Iterable, Optional
 
 import jax
-import numpy as np
 
 from ap_adapter_tpu.adapter.params import export_flat_adapter
 from ap_adapter_tpu.parallel import mesh as mesh_lib

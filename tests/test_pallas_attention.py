@@ -52,3 +52,26 @@ def test_pallas_self_attention_matches_xla(rng, shape):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), tile_q=128, interpret=True
     ))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_self_attention_vjp_grads(rng):
+    """Gradient through the custom-VJP wrapper matches XLA attention grads."""
+
+    import jax
+    from ap_adapter_tpu.ops import pallas_self_attention as psa
+
+    b, s, h, d = 1, 16, 2, 8
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+
+    # forward uses interpret-mode pallas on CPU
+    orig = psa.pallas_self_attention
+    psa_interp = lambda q, k, v, tile_q=256: orig(q, k, v, tile_q=128, interpret=True)
+    psa.pallas_self_attention = psa_interp
+    try:
+        g1 = jax.grad(lambda q: jnp.sum(psa.pallas_self_attention_vjp(q, k, v) ** 2))(q)
+    finally:
+        psa.pallas_self_attention = orig
+    g2 = jax.grad(lambda q: jnp.sum(psa._xla_reference(q, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
