@@ -74,9 +74,9 @@ def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     b, s, h, d = q.shape
     # whole-KV kernel needs K/V (fp32) + a logits tile resident in VMEM:
     # ~ 2*sp*dp*4 + tile_q*sp*4 bytes; cap well under the ~16 MB budget.
-    sp = ((s + 255) // 256) * 256
+    sp = ((s + 511) // 512) * 512
     dp = ((d + 127) // 128) * 128
-    vmem_bytes = 2 * sp * dp * 4 + 256 * sp * 4 + 2 * 256 * dp * 4
+    vmem_bytes = 2 * sp * dp * 4 + 512 * sp * 4 + 2 * 512 * dp * 4
     fits = vmem_bytes < 8 * 1024 * 1024
     if s < _PALLAS_SELF_MIN_SEQ or not fits or not _on_tpu():
         return sdpa(q, k, v)

@@ -101,11 +101,11 @@ def pallas_self_attention_vjp(q, k, v):
     grads are kept, so the kernel needs a VJP; the backward pass reuses the
     XLA attention (correct, and training-only)."""
 
-    return pallas_self_attention(q, k, v, tile_q=256)
+    return pallas_self_attention(q, k, v, tile_q=512)
 
 
 def _fwd(q, k, v):
-    return pallas_self_attention(q, k, v, tile_q=256), (q, k, v)
+    return pallas_self_attention(q, k, v, tile_q=512), (q, k, v)
 
 
 def _bwd(res, g):
