@@ -52,7 +52,9 @@ def audiomae_clip_embedding(pipe, waveform: np.ndarray, sample_rate: int) -> np.
     """Default FAD embedder: mean-pooled AudioMAE tokens of a clip [D]."""
 
     fbank = pipe.prepare_fbank(waveform, sample_rate)
-    tokens = pipe.modules.encode_audio(pipe.params, fbank, 8, 8, with_uncond=False)
+    t, f = pipe.config.audiomae.grid_size
+    tp, fp = min(8, t), min(8, f)  # eval pooling (8x8 at full scale)
+    tokens = pipe.modules.encode_audio(pipe.params, fbank, tp, fp, with_uncond=False)
     return np.asarray(jnp.mean(tokens[0], axis=0))
 
 

@@ -135,3 +135,41 @@ def test_get_task_config_templates():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         get_task_config("nope")
+
+
+def test_batched_eval_runner(tmp_path, rng):
+    """eval/runner end-to-end on a matched tiny config."""
+
+    import dataclasses
+    from scipy.io import wavfile
+
+    from ap_adapter_tpu.configs import get_task_config
+    from ap_adapter_tpu.eval.runner import eval_clips, run_batched_eval
+    from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline
+
+    base = tiny_pipeline_config()
+    cfg = dataclasses.replace(
+        base, fbank=dataclasses.replace(base.fbank, target_frames=64, num_mel_bins=32)
+    )
+    pipe = AudioLDM2Pipeline.from_random(cfg, seed=0)
+
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    for i in range(4):
+        wavfile.write(str(clip_dir / f"c{i}.wav"), 16000,
+                      (rng.standard_normal(8000) * 8000).astype(np.int16))
+    clips = eval_clips([str(clip_dir)])
+    assert len(clips) == 4
+
+    task = get_task_config(
+        "timbre_transfer", num_inference_steps=2, audio_length_in_s=0.2,
+        time_pooling=2, freq_pooling=2,
+        positive_text_prompts=("piano",), negative_text_prompts=("noise",),
+    )
+    out_dir = str(tmp_path / "edited")
+    res = run_batched_eval(pipe, clips, task, batch_size=2,
+                           compute_fad=True, output_dir=out_dir)
+    assert res["n"] == 4
+    assert "fad_audiomae" in res and np.isfinite(res["fad_audiomae"])
+    import os
+    assert len(os.listdir(out_dir)) == 4
