@@ -72,13 +72,21 @@ def self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     whole-KV Pallas kernel on TPU (see selection note above)."""
 
     b, s, h, d = q.shape
-    # whole-KV kernel needs K/V (fp32) + a logits tile resident in VMEM:
+    if s < _PALLAS_SELF_MIN_SEQ or not _on_tpu():
+        return sdpa(q, k, v)
+
+    if d <= 128 and 128 % d == 0 and h % (128 // d) == 0:
+        # head-packed kernel: G = 128/d heads share one 128-lane K/V copy
+        from ap_adapter_tpu.ops.pallas_packed_attention import packed_self_attention_vjp
+
+        return packed_self_attention_vjp(q, k, v)
+
+    # whole-KV kernel needs K/V + a logits tile resident in VMEM:
     # ~ 2*sp*dp*4 + tile_q*sp*4 bytes; cap well under the ~16 MB budget.
     sp = ((s + 511) // 512) * 512
     dp = ((d + 127) // 128) * 128
     vmem_bytes = 2 * sp * dp * 4 + 512 * sp * 4 + 2 * 512 * dp * 4
-    fits = vmem_bytes < 8 * 1024 * 1024
-    if s < _PALLAS_SELF_MIN_SEQ or not fits or not _on_tpu():
+    if vmem_bytes >= 8 * 1024 * 1024:
         return sdpa(q, k, v)
 
     from ap_adapter_tpu.ops.pallas_self_attention import pallas_self_attention_vjp

@@ -25,8 +25,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int, sm_scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [BQ, Dp]
-    k = k_ref[0].astype(jnp.float32)  # [Sp, Dp]
+    # matmul inputs stay in the input dtype (bf16 in the served pipeline):
+    # converting to fp32 first forces the MXU into its multi-pass fp32 mode.
+    # Accumulation is fp32 via preferred_element_type either way.
+    q = q_ref[0]  # [BQ, Dp]
+    k = k_ref[0]  # [Sp, Dp]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale  # [BQ, Sp]
@@ -34,11 +37,13 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int, sm_scale: float):
     logits = jnp.where(col < s_valid, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
-        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    # normalize the [BQ, Dp] output instead of the [BQ, Sp] probabilities
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
 def pallas_self_attention(

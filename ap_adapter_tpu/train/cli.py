@@ -43,6 +43,8 @@ def main(argv=None):
                    help="flat adapter dict (.npz or torch .bin)")
     p.add_argument("--random-weights", action="store_true",
                    help="random base weights (pipeline smoke mode)")
+    p.add_argument("--no-validation", action="store_true",
+                   help="disable periodic validation wav sampling")
     args = p.parse_args(argv)
 
     from ap_adapter_tpu.configs import PipelineConfig
@@ -91,7 +93,17 @@ def main(argv=None):
     collate = DeviceCollate(modules, pipe.params, duration_s=args.duration, seed=args.seed)
     batches = data_loader(dataset, args.train_batch_size, collate, seed=args.seed)
 
-    train(modules, pipe.params, batches, tc, args.output_dir, mesh=mesh)
+    validation_fn = None
+    if not args.no_validation:
+        from ap_adapter_tpu.train.validation import make_validation_fn
+
+        validation_fn = make_validation_fn(
+            modules, pipe.params, dataset, args.output_dir,
+            audio_length_in_s=args.duration, seed=args.seed,
+        )
+
+    train(modules, pipe.params, batches, tc, args.output_dir, mesh=mesh,
+          validation_fn=validation_fn)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,7 @@ def train(
     max_steps: Optional[int] = None,
     log_every: int = 50,
     validation_fn=None,
+    resume: bool = True,
 ) -> TrainState:
     """Run adapter finetuning. ``batches`` yields collated device batches.
 
@@ -47,7 +48,16 @@ def train(
     ``validation_fn(step, unet_params)`` runs every ``tc.validation_steps``
     with the merged (frozen + current adapter) UNet params — the hook for
     validation sampling (reference log_validation,
-    train_apadapter_v2.py:483-528).
+    train_apadapter_v2.py:483-528); train.validation.make_validation_fn
+    builds the default wav-writing one.
+
+    With ``resume`` (default), a run restarted in the same ``output_dir``
+    restores the latest orbax checkpoint (params + optimizer state + step)
+    and continues — the elastic-recovery counterpart of the reference's
+    ``--resume_from_checkpoint`` (train_apadapter_v2.py:649-663), which only
+    reloads adapter weights. Per-step RNG is ``fold_in(seed, step)`` so the
+    resumed noise/timestep stream matches an uninterrupted run; data order
+    restarts (the reference dataloader does too).
     """
 
     os.makedirs(output_dir, exist_ok=True)
@@ -57,25 +67,34 @@ def train(
     frozen = {k: v for k, v in params.items() if k != "unet"}
     state, frozen_unet = create_train_state(tc, params["unet"])
     frozen["unet_frozen"] = frozen_unet
+
+    ckpt = TrainCheckpointer(os.path.join(output_dir, "checkpoints"))
+    start_step = 1
+    if resume:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            state = ckpt.restore(jax.device_get(state), latest)
+            start_step = latest + 1
+
     state = jax.device_put(state, mesh_lib.replicated(mesh))
     frozen = mesh_lib.replicate_params(mesh, frozen)
 
     step_fn = make_sharded_train_step(modules, tc, frozen, mesh)
-    ckpt = TrainCheckpointer(os.path.join(output_dir, "checkpoints"))
     logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
 
     rng = jax.random.PRNGKey(tc.seed)
     t0 = time.time()
-    for step, batch in enumerate(batches, start=1):
+    for step, batch in enumerate(batches, start=start_step):
         if step > max_steps:
             break
-        rng, step_rng = jax.random.split(rng)
+        step_rng = jax.random.fold_in(rng, step)
         batch = mesh_lib.shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch, step_rng)
 
-        if step % log_every == 0 or step == 1:
+        if step % log_every == 0 or step == start_step:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            m.update(step=step, steps_per_s=step / max(time.time() - t0, 1e-9))
+            m.update(step=step,
+                     steps_per_s=(step - start_step + 1) / max(time.time() - t0, 1e-9))
             logger.log(m)
 
         if step % tc.checkpointing_steps == 0 or step == max_steps:
