@@ -87,6 +87,11 @@ def build_config(audioldm2_dir: str) -> configs.PipelineConfig:
         norm_eps=ucfg.get("norm_eps", 1e-5),
         flip_sin_to_cos=ucfg.get("flip_sin_to_cos", True),
         freq_shift=ucfg.get("freq_shift", 0),
+        # the adapter targets the GPT-2/AudioMAE stream = cross dim index 1
+        # (768 on every shipped AudioLDM2 variant; reference inference.py:16,37)
+        adapter_cross_attention_dim=(
+            cross[1] if len(cross) > 1 and cross[1] else 768
+        ),
     )
 
     vcfg = _json(os.path.join(audioldm2_dir, "vae", "config.json"))

@@ -47,6 +47,10 @@ def main(argv=None):
                    help="disable periodic validation wav sampling")
     args = p.parse_args(argv)
 
+    from ap_adapter_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()  # multi-host: connect processes before backend use
+
     from ap_adapter_tpu.configs import PipelineConfig
     from ap_adapter_tpu.adapter.params import import_flat_adapter, init_adapter_from_text_kv
     from ap_adapter_tpu.parallel import mesh as mesh_lib

@@ -88,22 +88,31 @@ def train(
         if step > max_steps:
             break
         step_rng = jax.random.fold_in(rng, step)
-        batch = mesh_lib.shard_batch(mesh, batch)
+        if jax.process_count() > 1:
+            # each host contributes its local shard of the global batch
+            from ap_adapter_tpu.parallel.distributed import shard_host_batch
+
+            batch = shard_host_batch(mesh, batch)
+        else:
+            batch = mesh_lib.shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch, step_rng)
 
-        if step % log_every == 0 or step == start_step:
+        is_host0 = jax.process_index() == 0
+        if (step % log_every == 0 or step == start_step) and is_host0:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             m.update(step=step,
                      steps_per_s=(step - start_step + 1) / max(time.time() - t0, 1e-9))
             logger.log(m)
 
         if step % tc.checkpointing_steps == 0 or step == max_steps:
-            ckpt.save(step, jax.device_get(state))
-            merged = merge_unet_params(jax.device_get(state.adapter), jax.device_get(frozen_unet))
-            flat = export_flat_adapter(merged, modules.config.unet)
-            save_flat_adapter(os.path.join(output_dir, "pytorch_model.npz"), flat)
+            ckpt.save(step, jax.device_get(state))  # orbax save is collective
+            if is_host0:
+                merged = merge_unet_params(jax.device_get(state.adapter),
+                                           jax.device_get(frozen_unet))
+                flat = export_flat_adapter(merged, modules.config.unet)
+                save_flat_adapter(os.path.join(output_dir, "pytorch_model.npz"), flat)
 
-        if validation_fn is not None and step % tc.validation_steps == 0:
+        if validation_fn is not None and step % tc.validation_steps == 0 and is_host0:
             validation_fn(step, merge_unet_params(state.adapter, frozen_unet))
 
     return state

@@ -1,0 +1,49 @@
+"""Fused GroupNorm kernel vs flax nn.GroupNorm (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ap_adapter_tpu.ops import pallas_groupnorm as pg
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 100, 64), 8),    # non-8-aligned N (padding path)
+    ((1, 64, 256), 32),
+    ((3, 16, 32), 4),
+])
+@pytest.mark.parametrize("act", [False, True])
+def test_fused_group_norm_matches_flax(rng, shape, groups, act):
+    b, n, c = shape
+    x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    gamma = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    want = gn.apply({"params": {"scale": gamma, "bias": beta}}, x[:, :, None, :])[:, :, 0, :]
+    if act:
+        want = nn.silu(want)
+
+    got = pg.fused_group_norm(x, gamma, beta, groups, act=act, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_silu_grads(rng):
+    """Custom-VJP wrapper grads match differentiating flax GroupNorm."""
+
+    b, n, c, groups = 1, 24, 16, 4
+    x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    gamma = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    orig = pg.fused_group_norm
+    pg.fused_group_norm = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        g1 = jax.grad(lambda x: jnp.sum(pg.group_norm_silu(x, gamma, beta, groups, 1e-5, True) ** 2))(x)
+    finally:
+        pg.fused_group_norm = orig
+    g2 = jax.grad(lambda x: jnp.sum(pg._xla_reference(x, gamma, beta, groups, 1e-5, True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
