@@ -244,6 +244,11 @@ class UNetConfig:
     adapter_cross_attention_dim: int = 768  # only 768-dim sites get the adapter
     adapter_num_tokens: int = 8  # first 8 tokens = GPT-2, rest = AudioMAE
     use_pallas_attention: bool = False  # fused dual-KV kernel (TPU only)
+    # rematerialize each resnet/attention group in the backward pass —
+    # shrinks the fwd+bwd graph and activation memory so the full-scale
+    # train step compiles on TPU (the training CLI turns this on; pure
+    # inference never differentiates, so it has no effect there)
+    remat: bool = False
     # class embedding (AudioLDM v1: CLAP embedding as "simple_projection"
     # class label concatenated with the time embedding)
     class_embed_dim: Optional[int] = None

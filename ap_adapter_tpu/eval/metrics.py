@@ -49,13 +49,32 @@ def fad(
 
 
 def audiomae_clip_embedding(pipe, waveform: np.ndarray, sample_rate: int) -> np.ndarray:
-    """Default FAD embedder: mean-pooled AudioMAE tokens of a clip [D]."""
+    """Fallback FAD embedder: mean-pooled AudioMAE tokens of a clip [D].
+
+    Self-contained (reuses the pipeline's own frozen encoder) but NOT
+    externally comparable; prefer ``clap_audio_embeddings`` (standard,
+    checkpoint-anchored embedding space) when CLAP audio-tower params exist.
+    """
 
     fbank = pipe.prepare_fbank(waveform, sample_rate)
     t, f = pipe.config.audiomae.grid_size
     tp, fp = min(8, t), min(8, f)  # eval pooling (8x8 at full scale)
     tokens = pipe.modules.encode_audio(pipe.params, fbank, tp, fp, with_uncond=False)
     return np.asarray(jnp.mean(tokens[0], axis=0))
+
+
+def clap_audio_embeddings(scorer, waveforms, sample_rate: int) -> np.ndarray:
+    """Standard FAD embedding space: the parity-tested CLAP audio tower
+    (models/clap_audio.py) — the checkpoint-anchored counterpart of the
+    reference's VGGish-based ``frechet-audio-distance`` tooling
+    (reference requirements.txt). ``waveforms`` is a list of 1-D arrays
+    (variable lengths OK) or one [B, N] array. Returns [B, proj_dim]."""
+
+    if isinstance(waveforms, np.ndarray) and waveforms.ndim == 2:
+        return scorer.audio_features(waveforms, sample_rate)
+    return np.concatenate(
+        [scorer.audio_features(np.asarray(w), sample_rate) for w in waveforms], axis=0
+    )
 
 
 def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:

@@ -80,8 +80,16 @@ class AudioLDM2UNet(nn.Module):
         ehs0 = encoder_hidden_states.astype(self.dtype)
         ehs1 = encoder_hidden_states_1.astype(self.dtype)
 
+        # under remat, every resnet / attention group recomputes its forward
+        # during the backward pass: activation memory and the bwd graph both
+        # shrink by the block count (jax.checkpoint via nn.remat — the
+        # TPU-native analogue of the reference's enable_gradient_checkpointing,
+        # modeling_audioldm2.py:1099-1137)
+        AttnGroup = nn.remat(AttentionGroup) if c.remat else AttentionGroup
+        Resnet = nn.remat(ResnetBlock2D) if c.remat else ResnetBlock2D
+
         def attn_group(block_ch, name):
-            return AttentionGroup(
+            return AttnGroup(
                 heads=heads,
                 dim_head=block_ch // heads,
                 cross_attention_dims=c.cross_attention_dims,
@@ -103,8 +111,8 @@ class AudioLDM2UNet(nn.Module):
         for bi in range(num_blocks):
             out_ch = ch[bi]
             for li in range(c.layers_per_block):
-                x = ResnetBlock2D(out_ch, groups, c.norm_eps, dtype=self.dtype,
-                                  name=f"down_{bi}_resnet_{li}")(x, temb)
+                x = Resnet(out_ch, groups, c.norm_eps, dtype=self.dtype,
+                           name=f"down_{bi}_resnet_{li}")(x, temb)
                 if c.down_block_has_attn[bi]:
                     x = attn_group(out_ch, f"down_{bi}_attn_{li}")(
                         x, ehs0, ehs1, bias0, bias1, ip_scale
@@ -116,9 +124,9 @@ class AudioLDM2UNet(nn.Module):
                 skips.append(x)
 
         # ----- mid -----
-        x = ResnetBlock2D(ch[-1], groups, c.norm_eps, dtype=self.dtype, name="mid_resnet_0")(x, temb)
+        x = Resnet(ch[-1], groups, c.norm_eps, dtype=self.dtype, name="mid_resnet_0")(x, temb)
         x = attn_group(ch[-1], "mid_attn_0")(x, ehs0, ehs1, bias0, bias1, ip_scale)
-        x = ResnetBlock2D(ch[-1], groups, c.norm_eps, dtype=self.dtype, name="mid_resnet_1")(x, temb)
+        x = Resnet(ch[-1], groups, c.norm_eps, dtype=self.dtype, name="mid_resnet_1")(x, temb)
 
         # ----- up -----
         reversed_ch = list(reversed(ch))
@@ -128,8 +136,8 @@ class AudioLDM2UNet(nn.Module):
             for li in range(c.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock2D(out_ch, groups, c.norm_eps, dtype=self.dtype,
-                                  name=f"up_{bi}_resnet_{li}")(x, temb)
+                x = Resnet(out_ch, groups, c.norm_eps, dtype=self.dtype,
+                           name=f"up_{bi}_resnet_{li}")(x, temb)
                 if c.up_block_has_attn[bi]:
                     x = attn_group(out_ch, f"up_{bi}_attn_{li}")(
                         x, ehs0, ehs1, bias0, bias1, ip_scale

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ap_adapter_tpu.ops.attention import sdpa, self_attention
+from ap_adapter_tpu.ops.attention import _on_tpu, sdpa, self_attention
 
 
 class ResnetBlock2D(nn.Module):
@@ -113,6 +113,67 @@ class Upsample2D(nn.Module):
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
+class DenseParams(nn.Module):
+    """Raw Dense weights (same param tree as nn.Dense: kernel[, bias]) —
+    exposed as arrays so fused kernels can consume them directly."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
+class LayerNormParams(nn.Module):
+    """Raw LayerNorm scale/bias (same param tree as nn.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+def layer_norm(x: jnp.ndarray, scale, bias, eps: float = 1e-5,
+               dtype=None) -> jnp.ndarray:
+    """nn.LayerNorm math from raw params (fp32 statistics)."""
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype or x.dtype)
+
+
+def _dense(x, kernel, bias, dtype):
+    y = jnp.asarray(x, dtype) @ jnp.asarray(kernel, dtype)
+    if bias is not None:
+        y = y + jnp.asarray(bias, dtype)
+    return y
+
+
+def _fused_block_tile_q(s: int, c: int, heads: int) -> int:
+    """Largest query tile whose fp32 logits block stays within ~4 MB VMEM."""
+
+    g = 128 // (c // heads)
+    sp = ((s + 63) // 64) * 64
+    for tq in (256, 128, 64):
+        if g * tq * sp * 4 <= 4 * 1024 * 1024:
+            return tq
+    return 64
+
+
 class CrossAttention(nn.Module):
     """diffusers ``Attention`` with an optional decoupled audio-KV branch.
 
@@ -121,6 +182,12 @@ class CrossAttention(nn.Module):
     tokens -> adapter KV) and the outputs combined as text + ip_scale * audio,
     matching reference attention_processor.py:400-454. The audio branch is
     unmasked (reference :443-445).
+
+    ``pre_ln``: optional (scale, bias) of the preceding LayerNorm. When given,
+    this module computes ``x + attn(LN(x))`` — which lets the hot
+    self-attention sites route to the fully-fused Pallas block kernel
+    (ops/pallas_fused_block.py: LN, q/k/v, attention, out-proj and residual
+    in one kernel; q/k/v never touch HBM).
     """
 
     heads: int
@@ -138,11 +205,43 @@ class CrossAttention(nn.Module):
         context: Optional[jnp.ndarray] = None,
         mask_bias: Optional[jnp.ndarray] = None,
         ip_scale: jnp.ndarray | float = 0.0,
+        pre_ln: Optional[tuple] = None,
     ) -> jnp.ndarray:
         inner = self.heads * self.dim_head
-        b, n, _ = x.shape
-
+        b, n, c_in = x.shape
         is_cross = context is not None
+
+        wq, _ = DenseParams(inner, use_bias=False, name="to_q")(c_in)
+        ctx_dim = context.shape[-1] if is_cross else c_in
+        wk, _ = DenseParams(inner, use_bias=False, name="to_k")(ctx_dim)
+        wv, _ = DenseParams(inner, use_bias=False, name="to_v")(ctx_dim)
+        wo, bo = DenseParams(self.out_dim, name="to_out")(inner)
+
+        d = self.dim_head
+        fused_ok = (
+            pre_ln is not None and not is_cross and mask_bias is None
+            and not self.use_adapter
+            and n >= 512 and inner % 128 == 0 and 128 % d == 0
+            and self.heads % (128 // d) == 0
+            and inner == c_in and self.out_dim == c_in
+            and _on_tpu()
+        )
+        if fused_ok:
+            from ap_adapter_tpu.ops.pallas_fused_block import fused_ln_self_attention_vjp
+
+            scale, bias = pre_ln
+            return fused_ln_self_attention_vjp(
+                x, scale, bias,
+                jnp.asarray(wq, self.dtype), jnp.asarray(wk, self.dtype),
+                jnp.asarray(wv, self.dtype), jnp.asarray(wo, self.dtype),
+                jnp.asarray(bo, self.dtype), self.heads, 1e-5,
+            )
+
+        residual = None
+        if pre_ln is not None:
+            residual = x
+            x = layer_norm(x, pre_ln[0], pre_ln[1], dtype=self.dtype)
+
         if is_cross and self.use_adapter:
             ctx = context[:, : self.num_ip_tokens]
             ip_ctx = context[:, self.num_ip_tokens :]
@@ -150,22 +249,18 @@ class CrossAttention(nn.Module):
             ctx = context if is_cross else x
             ip_ctx = None
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-
-        q = q.reshape(b, n, self.heads, self.dim_head)
-        k = k.reshape(b, -1, self.heads, self.dim_head)
-        v = v.reshape(b, -1, self.heads, self.dim_head)
+        q = _dense(x, wq, None, self.dtype).reshape(b, n, self.heads, d)
+        k = _dense(ctx, wk, None, self.dtype).reshape(b, -1, self.heads, d)
+        v = _dense(ctx, wv, None, self.dtype).reshape(b, -1, self.heads, d)
 
         if self.use_adapter:
             # params always exist at adapter sites so the checkpoint layout is
             # stable; the branch contributes 0 when ip_scale == 0.
-            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")
-            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")
+            wki, _ = DenseParams(inner, use_bias=False, name="to_k_ip")(ctx_dim)
+            wvi, _ = DenseParams(inner, use_bias=False, name="to_v_ip")(ctx_dim)
             if ip_ctx is not None:
-                ki = k_ip(ip_ctx).reshape(b, -1, self.heads, self.dim_head)
-                vi = v_ip(ip_ctx).reshape(b, -1, self.heads, self.dim_head)
+                ki = _dense(ip_ctx, wki, None, self.dtype).reshape(b, -1, self.heads, d)
+                vi = _dense(ip_ctx, wvi, None, self.dtype).reshape(b, -1, self.heads, d)
                 if self.use_pallas:
                     from ap_adapter_tpu.ops.pallas_attention import fused_dual_kv_attention
 
@@ -176,13 +271,13 @@ class CrossAttention(nn.Module):
             else:
                 out = sdpa(q, k, v, mask=mask_bias)
         elif not is_cross and mask_bias is None:
-            # self-attention: flash kernel for long sequences (TPU)
+            # self-attention: head-packed / whole-KV kernels for long seqs (TPU)
             out = self_attention(q, k, v)
         else:
             out = sdpa(q, k, v, mask=mask_bias)
 
-        out = out.reshape(b, n, inner)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+        out = _dense(out.reshape(b, n, inner), wo, bo, self.dtype)
+        return out if residual is None else residual + out
 
 
 class FeedForward(nn.Module):
@@ -221,19 +316,23 @@ class BasicTransformerBlock(nn.Module):
         context_mask_bias: Optional[jnp.ndarray] = None,
         ip_scale: jnp.ndarray | float = 0.0,
     ) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + CrossAttention(
+        # pre-LN params are passed INTO the attention (residual computed
+        # there) so the hot self-attention sites fuse LN+QKV+attn+out+res
+        # into one Pallas kernel (ops/pallas_fused_block.py)
+        ln1 = LayerNormParams(self.dim, name="norm1")()
+        x = CrossAttention(
             self.heads, self.dim_head, self.dim, dtype=self.dtype, name="attn1"
-        )(y)
+        )(x, pre_ln=ln1)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        ln2 = LayerNormParams(self.dim, name="norm2")()
         ctx = context if self.cross_attention_dim is not None else None
-        x = x + CrossAttention(
+        x = CrossAttention(
             self.heads, self.dim_head, self.dim,
             use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
             use_pallas=self.use_pallas,
             dtype=self.dtype, name="attn2",
-        )(y, context=ctx, mask_bias=context_mask_bias if ctx is not None else None, ip_scale=ip_scale)
+        )(x, context=ctx, mask_bias=context_mask_bias if ctx is not None else None,
+          ip_scale=ip_scale, pre_ln=ln2)
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(y)

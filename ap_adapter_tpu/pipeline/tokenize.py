@@ -65,21 +65,49 @@ class HFTokenizers:
         )
         return clap.input_ids, clap.attention_mask, t5.input_ids, t5.attention_mask
 
+    def t5_length(self, texts) -> int:
+        """Longest T5 token length over ``texts`` (no padding)."""
+
+        return max(len(ids) for ids in self.t5(list(texts)).input_ids)
+
+
+T5_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def pick_t5_bucket(longest: int, buckets: Sequence[int] = T5_BUCKETS) -> int:
+    """Smallest bucket >= the longest tokenized prompt.
+
+    The reference pads T5 to longest-per-batch (pipeline_audioldm2.py:
+    380-399) — a dynamic shape. Bucketing keeps one compiled executable per
+    bucket while matching the reference's semantics (padding is masked)."""
+
+    for b in buckets:
+        if longest <= b:
+            return b
+    return buckets[-1]
+
 
 def make_text_batch(
     config: PipelineConfig,
     prompts: Sequence[str],
     tokenizers: Optional[HFTokenizers] = None,
     clap_len: Optional[int] = None,
-    t5_len: int = 64,
+    t5_len: Optional[int] = 64,
 ) -> TextBatch:
     """Tokenize prompts into a fixed-shape TextBatch.
 
     The reference pads CLAP to the tokenizer max (512) and T5 to longest; we
     bucket T5 to ``t5_len`` to keep one compiled executable per task shape.
+    ``t5_len=None`` auto-buckets to the smallest T5_BUCKETS entry covering
+    the longest prompt.
     """
 
     clap_len = clap_len or config.clap.max_length
+    if t5_len is None:
+        if tokenizers is not None:
+            t5_len = pick_t5_bucket(tokenizers.t5_length(prompts))
+        else:
+            t5_len = pick_t5_bucket(max(len(t.split()) + 2 for t in prompts))
     if tokenizers is not None:
         ci, cm, ti, tm = tokenizers(prompts, clap_len, t5_len)
     else:

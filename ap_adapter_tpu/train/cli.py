@@ -60,7 +60,12 @@ def main(argv=None):
     from ap_adapter_tpu.train.loop import train
     from ap_adapter_tpu.train.trainer import TrainConfig
 
+    import dataclasses
+
     config = PipelineConfig()
+    # remat the UNet blocks: the fwd+bwd graph at full scale only compiles
+    # (and fits activation memory at effective batch 32) with checkpointing
+    config = config.replace(unet=dataclasses.replace(config.unet, remat=True))
     pipe = load_pipeline(config, checkpoint_dir=args.checkpoint_dir or None)
 
     if args.resume_from_checkpoint:

@@ -173,3 +173,29 @@ def test_batched_eval_runner(tmp_path, rng):
     assert "fad_audiomae" in res and np.isfinite(res["fad_audiomae"])
     import os
     assert len(os.listdir(out_dir)) == 4
+
+    # CLAP audio-tower FAD (the standard embedding space, VERDICT r1 item 8)
+    from ap_adapter_tpu.configs import ClapAudioConfig
+    from ap_adapter_tpu.eval.clap_scoring import ClapScorer
+    from ap_adapter_tpu.models.clap import ClapTextEncoder
+    from ap_adapter_tpu.models.clap_audio import ClapAudioTower
+
+    audio_cfg = ClapAudioConfig(
+        spec_size=64, patch_size=4, patch_stride=(4, 4),
+        patch_embeds_hidden_size=16, depths=(2, 2), num_heads=(2, 4),
+        window_size=4, num_mel_bins=16, mlp_ratio=2.0, projection_dim=8,
+        max_length_s=1,
+    )
+    import jax.numpy as jnp
+
+    tower = ClapAudioTower(audio_cfg)
+    a_params = tower.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 1, 100, 16)))["params"]
+    text = ClapTextEncoder(cfg.clap)
+    t_params = text.init(jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32),
+                         jnp.ones((1, 4), jnp.int32))["params"]
+    scorer = ClapScorer(cfg.clap, audio_cfg, {"text": t_params, "audio": a_params})
+
+    res2 = run_batched_eval(pipe, clips, task, batch_size=2,
+                            compute_fad=True, scorer=scorer)
+    assert "fad_clap" in res2 and np.isfinite(res2["fad_clap"])

@@ -118,3 +118,33 @@ def test_sharded_train_step_8_devices(setup, rng):
     batch = mesh_lib.shard_batch(mesh, _batch(cfg, rng, b=8))
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_grads_match(rng):
+    """UNetConfig.remat changes neither the loss nor the adapter grads
+    (jax.checkpoint is numerically transparent)."""
+
+    import dataclasses
+
+    from ap_adapter_tpu.train.trainer import make_train_step
+
+    def build(remat):
+        cfg = tiny_pipeline_config()
+        cfg = cfg.replace(unet=dataclasses.replace(cfg.unet, remat=remat))
+        modules = PipelineModules(cfg)
+        params = modules.init_params(seed=0)
+        tc = TrainConfig(gradient_accumulation_steps=1, learning_rate=1e-3)
+        state, frozen_unet = create_train_state(tc, params["unet"])
+        frozen = {k: v for k, v in params.items() if k != "unet"}
+        frozen["unet_frozen"] = frozen_unet
+        return cfg, make_train_step(modules, tc, frozen), state
+
+    cfg, step0, st0 = build(False)
+    _, step1, st1 = build(True)
+    batch_rng = np.random.default_rng(5)
+    batch = _batch(cfg, batch_rng, b=2)
+    key = jax.random.PRNGKey(0)
+    st0, m0 = jax.jit(step0)(st0, batch, key)
+    st1, m1 = jax.jit(step1)(st1, batch, key)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m0["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4)
