@@ -395,38 +395,48 @@ class TaskConfig:
     negative_text_prompts: Sequence[str] = ()
 
 
+# prompt lists and knobs mirror the reference's shipped templates exactly
+# (golden-tested against /root/reference/config.py in tests/test_golden_config.py)
 _TASKS = {
-    # reference config.py:2-25
+    # reference config.py:1-23
     "timbre_transfer": dict(
         ap_scale=0.5, time_pooling=2, freq_pooling=2, guidance_scale=7.5,
+        num_files=1,
         positive_text_prompts=(
-            "playing piano",
-            "Trumpet, playing trumpet solo",
+            "a recording of a violin solo",
+            "a recording of an acoustic guitar solo",
+            "a recording of a harp solo",
         ),
-        negative_text_prompts=("low quality, noise",),
+        negative_text_prompts=("a recording of a piano solo",),
     ),
-    # reference config.py:27-46
+    # reference config.py:24-43
     "style_transfer": dict(
         ap_scale=0.55, time_pooling=4, freq_pooling=4, guidance_scale=9.5,
+        num_files=1,
         positive_text_prompts=(
-            "8 bit, 8-bit music",
-            "jazz, jazz style music",
+            "Jazz style music",
+            "Rock style music",
+            "Pop style music",
         ),
-        negative_text_prompts=("low quality, noise",),
+        negative_text_prompts=("Low quality",),
     ),
-    # reference config.py:48-68
+    # reference config.py:44-65
     "accompaniment_generation": dict(
         ap_scale=0.5, time_pooling=2, freq_pooling=2, guidance_scale=7.5,
+        num_files=1,
         positive_text_prompts=(
-            "accompaniment, music with drum and bass",
+            "Duet, Played with violin accompaniment",
+            "Duet, Played with cello accompaniment",
+            "Duet, Played with flute accompaniment",
         ),
-        negative_text_prompts=("low quality, noise",),
+        negative_text_prompts=("solo",),
     ),
-    # reference config.py:70-83
+    # reference config.py:66-83
     "test": dict(
         ap_scale=0.5, time_pooling=2, freq_pooling=2, guidance_scale=7.5,
-        positive_text_prompts=("playing violin",),
-        negative_text_prompts=("low quality, noise",),
+        num_files=1,
+        positive_text_prompts=("",),
+        negative_text_prompts=("",),
     ),
 }
 

@@ -281,19 +281,46 @@ class CrossAttention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU feed-forward (diffusers default): proj -> chunk -> x*gelu(g)."""
+    """GEGLU feed-forward (diffusers default): proj -> chunk -> x*gelu(g).
+
+    With ``pre_ln`` (the preceding norm3 params) the module computes
+    ``x + ff(LN(x))`` and routes to the fused Pallas kernel
+    (ops/pallas_fused_ff.py) when the shape fits VMEM.
+    """
 
     dim: int
     mult: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, pre_ln: Optional[tuple] = None) -> jnp.ndarray:
         inner = self.dim * self.mult
-        y = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        c_in = x.shape[-1]
+        w1, b1 = DenseParams(inner * 2, name="geglu_proj")(c_in)
+        w2, b2 = DenseParams(self.dim, name="out_proj")(inner)
+
+        if pre_ln is not None and inner % 128 == 0 and c_in % 128 == 0 \
+                and self.dim == c_in and _on_tpu():
+            from ap_adapter_tpu.ops.pallas_fused_ff import ff_tile_q, fused_ln_geglu_ff_vjp
+
+            if ff_tile_q(x.shape[1], c_in, inner) > 0:
+                scale, bias = pre_ln
+                return fused_ln_geglu_ff_vjp(
+                    x, scale, bias,
+                    jnp.asarray(w1, self.dtype), jnp.asarray(b1, self.dtype),
+                    jnp.asarray(w2, self.dtype), jnp.asarray(b2, self.dtype),
+                    1e-5,
+                )
+
+        residual = None
+        if pre_ln is not None:
+            residual = x
+            x = layer_norm(x, pre_ln[0], pre_ln[1], dtype=self.dtype)
+        y = _dense(x, w1, b1, self.dtype)
         y, gate = jnp.split(y, 2, axis=-1)
         y = y * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(y)
+        out = _dense(y, w2, b2, self.dtype)
+        return out if residual is None else residual + out
 
 
 class BasicTransformerBlock(nn.Module):
@@ -334,8 +361,8 @@ class BasicTransformerBlock(nn.Module):
         )(x, context=ctx, mask_bias=context_mask_bias if ctx is not None else None,
           ip_scale=ip_scale, pre_ln=ln2)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(y)
+        ln3 = LayerNormParams(self.dim, name="norm3")()
+        return FeedForward(self.dim, dtype=self.dtype, name="ff")(x, pre_ln=ln3)
 
 
 class Transformer2DModel(nn.Module):

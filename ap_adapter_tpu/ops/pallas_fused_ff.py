@@ -1,0 +1,136 @@
+"""Fused pre-LN GEGLU feed-forward kernel.
+
+One Pallas kernel computes ``x + W2 @ (a * gelu(g))`` where
+``[a ‖ g] = LN(x) W1 + b1`` — the BasicTransformerBlock norm3+ff path
+(diffusers GEGLU; reference modeling_audioldm2.py Transformer2DModel blocks).
+Unlike attention this is purely row-wise, so it applies to EVERY transformer
+block in the UNet (all channel widths; S=1000/252/64). The win is the same
+glue elimination as ops/pallas_fused_block.py: LN statistics, the [*, 2*4C]
+GEGLU activations and the [*, 4C] product never touch HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ln(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            *, inner: int, eps: float):
+    xt = x_ref[0]  # [tq, C]
+    xn = _ln(xt, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32),
+             eps).astype(xt.dtype)
+    h = jax.lax.dot_general(
+        xn, w1_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)  # [tq, 2*inner]
+    a = jax.lax.slice_in_dim(h, 0, inner, axis=1)
+    g = jax.lax.slice_in_dim(h, inner, 2 * inner, axis=1)
+    # exact (erf) gelu — diffusers GEGLU default (approximate="none"):
+    # gelu(g) = g * Phi(g)
+    y = (a * g * 0.5 * (1.0 + jax.lax.erf(g * (2.0 ** -0.5)))).astype(xt.dtype)
+    out = jax.lax.dot_general(
+        y, w2_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = (xt.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def fused_ln_geglu_ff(
+    x: jnp.ndarray,        # [B, S, C]
+    ln_scale: jnp.ndarray,  # [C]
+    ln_bias: jnp.ndarray,
+    w1: jnp.ndarray,        # [C, 2*inner]
+    b1: jnp.ndarray,        # [2*inner]
+    w2: jnp.ndarray,        # [inner, C]
+    b2: jnp.ndarray,        # [C]
+    eps: float = 1e-5,
+    tile_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, s, c = x.shape
+    inner = w2.shape[0]
+    assert w1.shape == (c, 2 * inner) and inner % 128 == 0 and c % 128 == 0
+    tile_q = min(tile_q, _round_up(s, 64))  # short sequences: one thin tile
+    sp = _round_up(s, tile_q)
+    if sp != s:
+        x_in = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    else:
+        x_in = x
+    dt = x.dtype
+    cast = lambda a: jnp.asarray(a, dt)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, inner=inner, eps=eps),
+        grid=(b, sp // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * inner), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * inner), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inner, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sp, c), dt),
+        interpret=interpret,
+    )(x_in, cast(ln_scale).reshape(1, c), cast(ln_bias).reshape(1, c),
+      cast(w1), cast(b1).reshape(1, 2 * inner), cast(w2), cast(b2).reshape(1, c))
+    return out[:, :s]
+
+
+def ff_tile_q(s: int, c: int, inner: int) -> int:
+    """Largest tile whose weights + activations stay within ~12 MB VMEM."""
+
+    w_bytes = (c * 2 * inner + inner * c) * 2
+    for tq in (256, 128, 64):
+        act = tq * (2 * inner * 4 + 2 * inner * 2 + 2 * c * 4)
+        if w_bytes + act <= 12 * 1024 * 1024:
+            return tq
+    return 0  # does not fit — use the XLA path
+
+
+def _xla_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps) * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    h = xn @ w1 + b1
+    a, g = jnp.split(h, 2, axis=-1)
+    y = a * jax.nn.gelu(g, approximate=False)
+    return x + (y @ w2 + b2).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ln_geglu_ff_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float):
+    return fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
+
+
+def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    out = fused_ln_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _bwd(eps, res, grad):
+    _, vjp = jax.vjp(lambda *a: _xla_reference(*a, eps), *res)
+    return vjp(grad)
+
+
+fused_ln_geglu_ff_vjp.defvjp(_fwd, _bwd)

@@ -20,6 +20,14 @@ import jax  # noqa: E402
 # so override through the config API instead.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite is dominated by XLA CPU compiles of
+# tiny-config models; cached re-runs cut wall time several-fold
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
