@@ -22,11 +22,12 @@ import numpy as np
 from ap_adapter_tpu.configs import UNetConfig
 
 
-def adapter_sites(config: UNetConfig) -> List[Tuple[Tuple[str, ...], str]]:
-    """[(flax_group_path, torch_site_prefix)] for every adapted attn2.
+def adapter_sites(config: UNetConfig) -> List[Tuple[Tuple[str, ...], int, str]]:
+    """[(flax_group_path, block_index, torch_site_prefix)] per adapted attn2.
 
-    flax_group_path addresses the CrossAttention module (".../attn2");
-    torch_site_prefix is e.g.
+    flax_group_path addresses the CrossAttention module (".../attn2") whose
+    parameters are STACKED [L, ...] along the nn.scan axis; ``block_index``
+    selects the transformer block within the stack. torch_site_prefix is e.g.
     ``down_blocks.1.attentions.1.transformer_blocks.0.attn2``.
     """
 
@@ -42,7 +43,8 @@ def adapter_sites(config: UNetConfig) -> List[Tuple[Tuple[str, ...], str]]:
             flat = layer * n_dims + g
             for t in range(config.transformer_layers_per_block):
                 sites.append((
-                    (flax_block, f"attentions_{g}", f"transformer_blocks_{t}", "attn2"),
+                    (flax_block, f"attentions_{g}", "transformer_blocks", "attn2"),
+                    t,
                     f"{torch_block}.attentions.{flat}.transformer_blocks.{t}.attn2",
                 ))
 
@@ -73,10 +75,10 @@ def export_flat_adapter(unet_params, config: UNetConfig) -> Dict[str, np.ndarray
     """
 
     flat = {}
-    for flax_path, torch_prefix in adapter_sites(config):
+    for flax_path, t, torch_prefix in adapter_sites(config):
         attn = _get(unet_params, flax_path)
         for nm in ("to_k_ip", "to_v_ip"):
-            kernel = np.asarray(attn[nm]["kernel"])  # [in, out]
+            kernel = np.asarray(attn[nm]["kernel"])[t]  # stacked [L, in, out]
             flat[f"{torch_prefix}.processor.{nm}.weight"] = np.ascontiguousarray(kernel.T)
     return flat
 
@@ -86,17 +88,16 @@ def import_flat_adapter(unet_params, flat: Dict[str, np.ndarray], config: UNetCo
 
     params = jax.tree_util.tree_map(lambda x: x, unet_params)  # shallow copy tree
 
-    def _set(tree, path, name, value):
-        node = _get(tree, path)
-        node[name] = {"kernel": np.ascontiguousarray(np.asarray(value).T)}
-
-    for flax_path, torch_prefix in adapter_sites(config):
+    for flax_path, t, torch_prefix in adapter_sites(config):
+        attn = _get(params, flax_path)
         for nm in ("to_k_ip", "to_v_ip"):
             key = f"{torch_prefix}.processor.{nm}.weight"
             if key not in flat:
                 # reference also writes keys without ".processor"
                 key = f"{torch_prefix}.{nm}.weight"
-            _set(params, flax_path, nm, flat[key])
+            stacked = np.array(np.asarray(attn[nm]["kernel"]), copy=True)
+            stacked[t] = np.asarray(flat[key]).T
+            attn[nm] = {"kernel": stacked}
     return params
 
 
@@ -106,7 +107,11 @@ def init_adapter_from_text_kv(unet_params, config: UNetConfig):
     copy_weight.py:44-62)."""
 
     params = jax.tree_util.tree_map(lambda x: x, unet_params)
-    for flax_path, _ in adapter_sites(config):
+    seen = set()
+    for flax_path, _, _ in adapter_sites(config):
+        if flax_path in seen:
+            continue  # stacked params cover every block index at once
+        seen.add(flax_path)
         attn = _get(params, flax_path)
         attn["to_k_ip"] = {"kernel": np.array(attn["to_k"]["kernel"], copy=True)}
         attn["to_v_ip"] = {"kernel": np.array(attn["to_v"]["kernel"], copy=True)}

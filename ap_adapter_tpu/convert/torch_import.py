@@ -246,15 +246,25 @@ def _attention_params(sd: StateDict, p: str, has_adapter: bool) -> Dict:
     return out
 
 
+def _stack_trees(trees):
+    """[{...}, {...}] -> {...} with leaves stacked along a new axis 0
+    (the nn.scan stacked-parameter layout of Transformer2DModel)."""
+
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
 def _transformer2d_params(sd: StateDict, p: str, num_layers: int, has_adapter: bool) -> Dict:
     params = {
         "norm": t_norm(sd, f"{p}.norm"),
         "proj_in": _t_conv1x1_dense(sd, f"{p}.proj_in"),
         "proj_out": _t_conv1x1_dense(sd, f"{p}.proj_out"),
     }
+    blocks = []
     for t in range(num_layers):
         tp = f"{p}.transformer_blocks.{t}"
-        params[f"transformer_blocks_{t}"] = {
+        blocks.append({
             "norm1": t_norm(sd, f"{tp}.norm1"),
             "attn1": _attention_params(sd, f"{tp}.attn1", False),
             "norm2": t_norm(sd, f"{tp}.norm2"),
@@ -264,7 +274,8 @@ def _transformer2d_params(sd: StateDict, p: str, num_layers: int, has_adapter: b
                 "geglu_proj": t_linear(sd, f"{tp}.ff.net.0.proj"),
                 "out_proj": t_linear(sd, f"{tp}.ff.net.2"),
             },
-        }
+        })
+    params["transformer_blocks"] = _stack_trees(blocks)
     return params
 
 

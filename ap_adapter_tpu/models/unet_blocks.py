@@ -365,8 +365,26 @@ class BasicTransformerBlock(nn.Module):
         return FeedForward(self.dim, dtype=self.dtype, name="ff")(x, pre_ln=ln3)
 
 
+class _ScanTransformerBlock(BasicTransformerBlock):
+    """BasicTransformerBlock with a scan-compatible (carry, out) return."""
+
+    @nn.compact
+    def __call__(self, x, context=None, context_mask_bias=None, ip_scale=0.0):
+        return (
+            BasicTransformerBlock.__call__(self, x, context, context_mask_bias, ip_scale),
+            None,
+        )
+
+
 class Transformer2DModel(nn.Module):
-    """GN -> 1x1 proj_in -> transformer blocks over HW tokens -> proj_out + res."""
+    """GN -> 1x1 proj_in -> transformer blocks over HW tokens -> proj_out + res.
+
+    The (homogeneous) transformer blocks run under ``nn.scan`` with stacked
+    [L, ...] parameters: the block body appears ONCE in the traced graph
+    instead of L times — the graph dedup that keeps the full-scale fwd+bwd
+    train step within the compile service's limits and halves inference
+    cold-compile (checkpoint conversion stacks the per-block torch weights;
+    convert/torch_import._transformer2d_params)."""
 
     heads: int
     dim_head: int
@@ -392,14 +410,20 @@ class Transformer2DModel(nn.Module):
         y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         y = nn.Dense(inner, dtype=self.dtype, name="proj_in")(y)  # 1x1 conv == dense
         y = y.reshape(b, h * w, inner)
-        for i in range(self.num_layers):
-            y = BasicTransformerBlock(
-                inner, self.heads, self.dim_head,
-                cross_attention_dim=self.cross_attention_dim,
-                use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
-                use_pallas=self.use_pallas,
-                dtype=self.dtype, name=f"transformer_blocks_{i}",
-            )(y, context, context_mask_bias, ip_scale)
+        blocks = nn.scan(
+            _ScanTransformerBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=self.num_layers,
+        )(
+            inner, self.heads, self.dim_head,
+            cross_attention_dim=self.cross_attention_dim,
+            use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype, name="transformer_blocks",
+        )
+        y, _ = blocks(y, context, context_mask_bias, ip_scale)
         y = y.reshape(b, h, w, inner)
         y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
         return y + residual

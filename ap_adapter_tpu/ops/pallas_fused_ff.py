@@ -30,6 +30,19 @@ def _ln(x, scale, bias, eps):
     return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _erf(x):
+    """fp32 erf via Abramowitz-Stegun 7.1.26 (|error| <= 1.5e-7): Mosaic has
+    no erf primitive, but exp lowers fine."""
+
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
             *, inner: int, eps: float):
     xt = x_ref[0]  # [tq, C]
@@ -43,7 +56,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     g = jax.lax.slice_in_dim(h, inner, 2 * inner, axis=1)
     # exact (erf) gelu — diffusers GEGLU default (approximate="none"):
     # gelu(g) = g * Phi(g)
-    y = (a * g * 0.5 * (1.0 + jax.lax.erf(g * (2.0 ** -0.5)))).astype(xt.dtype)
+    y = (a * g * 0.5 * (1.0 + _erf(g * (2.0 ** -0.5)))).astype(xt.dtype)
     out = jax.lax.dot_general(
         y, w2_ref[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -21,7 +21,7 @@ def test_adapter_sites_match_reference_layout():
 
     cfg = UNetConfig()  # audioldm2-large defaults
     sites = adapter_sites(cfg)
-    torch_names = sorted({s[1] for s in sites})
+    torch_names = sorted({s[2] for s in sites})
     # 32 attn2 modules total: (3 down blocks x 2 layers + mid + 3 up x 3 layers)
     # x 2 transformer blocks = (6 + 1 + 9) * 2 = 32 — i.e. 64 k/v matrices,
     # matching the 64 files in the reference's copied_cross_attention/.
