@@ -148,3 +148,32 @@ def test_remat_grads_match(rng):
     st1, m1 = jax.jit(step1)(st1, batch, key)
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m0["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4)
+
+
+def test_remat_scan_two_blocks_grads(rng):
+    """Grad flows through nn.scan-stacked transformer blocks (L=2, like the
+    full-size config) under remat — the exact structure the full-scale
+    train step compiles."""
+
+    import dataclasses
+
+    from ap_adapter_tpu.train.trainer import make_train_step
+
+    cfg = tiny_pipeline_config()
+    cfg = cfg.replace(unet=dataclasses.replace(
+        cfg.unet, transformer_layers_per_block=2, remat=True))
+    modules = PipelineModules(cfg)
+    params = modules.init_params(seed=0)
+    tc = TrainConfig(gradient_accumulation_steps=1, learning_rate=1e-3)
+    state, frozen_unet = create_train_state(tc, params["unet"])
+    frozen = {k: v for k, v in params.items() if k != "unet"}
+    frozen["unet_frozen"] = frozen_unet
+    step = jax.jit(make_train_step(modules, tc, frozen))
+
+    batch = _batch(cfg, np.random.default_rng(3), b=2)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    # the adapter kernels are stacked [2, ...] along the scan axis
+    leaf = jax.tree_util.tree_leaves(state.adapter)[0]
+    assert leaf.shape[0] == 2
