@@ -237,6 +237,36 @@ class CrossAttention(nn.Module):
                 jnp.asarray(bo, self.dtype), self.heads, 1e-5,
             )
 
+        fused_cross_ok = (
+            pre_ln is not None and is_cross
+            and n >= 512 and inner % 128 == 0 and 128 % d == 0
+            and self.heads % (128 // d) == 0
+            and inner == c_in and self.out_dim == c_in
+            # text-only conditioning leaves the audio branch EMPTY; the XLA
+            # path contracts over zero keys to exact zeros — keep it there
+            and (not self.use_adapter or context.shape[1] > self.num_ip_tokens)
+            and _on_tpu()
+        )
+        if fused_cross_ok:
+            from ap_adapter_tpu.ops.pallas_fused_cross import fused_ln_cross_attention_vjp
+
+            wki = wvi = None
+            if self.use_adapter:
+                wki_raw, _ = DenseParams(inner, use_bias=False, name="to_k_ip")(ctx_dim)
+                wvi_raw, _ = DenseParams(inner, use_bias=False, name="to_v_ip")(ctx_dim)
+                wki = jnp.asarray(wki_raw, self.dtype)
+                wvi = jnp.asarray(wvi_raw, self.dtype)
+            # [B,1,1,Sk] additive bias -> [B, Sk]
+            mb = mask_bias[:, 0, 0, :] if mask_bias is not None else None
+            scale, bias = pre_ln
+            return fused_ln_cross_attention_vjp(
+                x, jnp.asarray(context, self.dtype), scale, bias,
+                jnp.asarray(wq, self.dtype), jnp.asarray(wk, self.dtype),
+                jnp.asarray(wv, self.dtype), jnp.asarray(wo, self.dtype),
+                jnp.asarray(bo, self.dtype), self.heads,
+                wki, wvi, ip_scale, self.num_ip_tokens, mb, 1e-5,
+            )
+
         residual = None
         if pre_ln is not None:
             residual = x

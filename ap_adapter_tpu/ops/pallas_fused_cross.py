@@ -1,0 +1,296 @@
+"""Fully-fused pre-LN cross-attention block kernel (text KV + optional
+decoupled audio KV).
+
+One kernel computes, per UNet cross-attention site (reference
+attention_processor.py IPAttnProcessor2_0 / AttnProcessor2_0 semantics):
+
+    y  = LN(x)
+    q  = y Wq ;  k/v      = ctx_text Wk/Wv   (first ``num_ip`` context rows)
+                 k_i/v_i  = ctx_ip  Wki/Wvi  (remaining rows; adapter sites)
+    out = softmax(q k^T + bias) v  +  ip_scale * softmax(q k_i^T) v_i
+    x + (out Wo + bo)
+
+Contexts are short (8 GPT-2 tokens + <=128 pooled AudioMAE tokens, or <=512
+T5 tokens), so the cost at the hot sites is dominated by the LN + the
+[S,C]x[C,C] query/out projections and their HBM round-trips — exactly the
+glue this kernel keeps in VMEM. K/V projections are computed once per batch
+row (VMEM scratch persists across query tiles). Heads are packed in lanes
+(the natural projection layout) and processed with the staircase trick per
+128-lane group (ops/pallas_fused_block.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ln(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _staircase_attention(q, k_scr, v_scr, bias_row, sk_valid, heads, d):
+    """q [tq, C] packed-head queries (pre-scaled); K/V scratch [Skp, C].
+    Returns [tq, C]. bias_row: [1, Skp] additive fp32 or None."""
+
+    tq, c = q.shape
+    g = LANES // d
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, LANES), 1)
+    groups = []
+    for g2 in range(c // LANES):
+        sl = slice(g2 * LANES, (g2 + 1) * LANES)
+        qg = q[:, sl]
+        kg = k_scr[:, sl]
+        vg = v_scr[:, sl]
+        qs = jnp.concatenate(
+            [jnp.where((lane >= i * d) & (lane < (i + 1) * d), qg, 0)
+             for i in range(g)], axis=0)
+        logits = jax.lax.dot_general(
+            qs, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < sk_valid, logits, NEG_INF)
+        if bias_row is not None:
+            logits = logits + bias_row
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o_full = jax.lax.dot_general(
+            p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / denom
+        og = jnp.zeros((tq, LANES), jnp.float32)
+        for i in range(g):
+            blk = jax.lax.slice_in_dim(o_full, i * tq, (i + 1) * tq, axis=0)
+            og = og + jnp.where((lane >= i * d) & (lane < (i + 1) * d), blk, 0)
+        groups.append(og)
+    return jnp.concatenate(groups, axis=1)  # [tq, C] fp32
+
+
+def _kernel(x_tile_ref, ctx_ref, bias_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
+            wv_ref, wki_ref, wvi_ref, wo_ref, bo_ref, scale_ref, o_ref,
+            k_scr, v_scr, ki_scr, vi_scr, *,
+            heads: int, num_ip: int, sk_text: int, sk_ip: int, eps: float,
+            sm_scale: float, has_ip: bool, has_bias: bool):
+    j = pl.program_id(1)
+    c = x_tile_ref.shape[-1]
+    d = c // heads
+
+    @pl.when(j == 0)
+    def _():
+        ctx = ctx_ref[0]  # [Skp_total, Dc]
+        text = ctx[:k_scr.shape[0], :]
+        k_scr[:, :] = jax.lax.dot_general(
+            text, wk_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(k_scr.dtype)
+        v_scr[:, :] = jax.lax.dot_general(
+            text, wv_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(v_scr.dtype)
+        if has_ip:
+            ip = jax.lax.slice_in_dim(ctx, num_ip, num_ip + ki_scr.shape[0], axis=0)
+            ki_scr[:, :] = jax.lax.dot_general(
+                ip, wki_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(ki_scr.dtype)
+            vi_scr[:, :] = jax.lax.dot_general(
+                ip, wvi_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(vi_scr.dtype)
+
+    xt = x_tile_ref[0]
+    xn = _ln(xt, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32),
+             eps).astype(xt.dtype)
+    q = (jax.lax.dot_general(xn, wq_ref[:, :], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         * sm_scale).astype(xt.dtype)
+
+    bias_row = bias_ref[0].astype(jnp.float32) if has_bias else None
+    out = _staircase_attention(q, k_scr[:, :], v_scr[:, :], bias_row,
+                               sk_text, heads, d)
+    if has_ip:
+        out_ip = _staircase_attention(q, ki_scr[:, :], vi_scr[:, :], None,
+                                      sk_ip, heads, d)
+        out = out + scale_ref[0, 0] * out_ip
+
+    proj = jax.lax.dot_general(
+        out.astype(xt.dtype), wo_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (xt.astype(jnp.float32) + proj).astype(o_ref.dtype)
+
+
+def fused_ln_cross_attention(
+    x: jnp.ndarray,          # [B, S, C]
+    context: jnp.ndarray,    # [B, Sk, Dc]
+    ln_scale, ln_bias,       # [C]
+    wq,                      # [C, C]
+    wk, wv,                  # [Dc, C]
+    wo, bo,                  # [C, C], [C]
+    heads: int,
+    *,
+    wk_ip=None, wv_ip=None,  # [Dc, C] (adapter sites)
+    ip_scale=0.0,
+    num_ip_tokens: int = 8,
+    mask_bias: Optional[jnp.ndarray] = None,  # [B, Sk] additive (text part)
+    eps: float = 1e-5,
+    tile_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x + OutProj(CrossAttn(LN(x), ctx)) in one kernel. C % 128 == 0 and
+    head_dim dividing 128 required (callers route)."""
+
+    b, s, c = x.shape
+    d = c // heads
+    assert c % LANES == 0 and LANES % d == 0 and heads % (LANES // d) == 0
+    has_ip = wk_ip is not None
+    sk_total = context.shape[1]
+    if has_ip:
+        sk_text, sk_ip = num_ip_tokens, sk_total - num_ip_tokens
+    else:
+        sk_text, sk_ip = sk_total, 0
+
+    tile_q = min(tile_q, _round_up(s, 64))
+    sp = _round_up(s, tile_q)
+    skp_text = _round_up(max(sk_text, 8), 8)
+    skp_ip = _round_up(max(sk_ip, 8), 8)
+    skp_total = _round_up(sk_total, 8)
+
+    dt = x.dtype
+    cast = lambda a: jnp.asarray(a, dt)
+    xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    ctxp = jnp.pad(cast(context), ((0, 0), (0, skp_total - sk_total), (0, 0)))
+    dc = context.shape[-1]
+
+    if mask_bias is None:
+        bias = jnp.zeros((b, skp_text), jnp.float32)
+        has_bias = False
+    else:
+        bias = jnp.pad(mask_bias.astype(jnp.float32),
+                       ((0, 0), (0, skp_text - mask_bias.shape[1])))
+        has_bias = True
+
+    zeros_w = jnp.zeros((dc, c), dt)
+    wki = cast(wk_ip) if has_ip else zeros_w
+    wvi = cast(wv_ip) if has_ip else zeros_w
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, heads=heads, num_ip=num_ip_tokens, sk_text=sk_text,
+            sk_ip=sk_ip, eps=eps, sm_scale=float(d) ** -0.5,
+            has_ip=has_ip, has_bias=has_bias,
+        ),
+        grid=(b, sp // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp_total, dc), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp_text), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sp, c), dt),
+        scratch_shapes=[
+            pltpu.VMEM((skp_text, c), dt),
+            pltpu.VMEM((skp_text, c), dt),
+            pltpu.VMEM((skp_ip, c), dt),
+            pltpu.VMEM((skp_ip, c), dt),
+        ],
+        interpret=interpret,
+    )(xp, ctxp, bias, cast(ln_scale).reshape(1, c), cast(ln_bias).reshape(1, c),
+      cast(wq), cast(wk), cast(wv), wki, wvi, cast(wo), cast(bo).reshape(1, c),
+      jnp.asarray(ip_scale, jnp.float32).reshape(1, 1))
+    return out[:, :s]
+
+
+def _xla_reference(x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads,
+                   wk_ip, wv_ip, ip_scale, num_ip_tokens, mask_bias, eps):
+    b, s, c = x.shape
+    d = c // heads
+    xn = _ln(x, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32), eps).astype(x.dtype)
+    has_ip = wk_ip is not None
+    ctx_t = context[:, :num_ip_tokens] if has_ip else context
+    q = (xn @ wq).reshape(b, s, heads, d)
+
+    def attn(ctx, wk_, wv_, bias):
+        k = (ctx @ wk_).reshape(b, -1, heads, d)
+        v = (ctx @ wv_).reshape(b, -1, heads, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (float(d) ** -0.5)
+        if bias is not None:
+            logits = logits + bias[:, None, None, :].astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, c)
+
+    out = attn(ctx_t, wk, wv, mask_bias)
+    if has_ip:
+        out = out + jnp.asarray(ip_scale, out.dtype) * attn(
+            context[:, num_ip_tokens:], wk_ip, wv_ip, None)
+    return x + (out @ wo + bo).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 13, 15))
+def fused_ln_cross_attention_vjp(x, context, ln_scale, ln_bias, wq, wk, wv,
+                                 wo, bo, heads, wk_ip, wv_ip, ip_scale,
+                                 num_ip_tokens, mask_bias, eps):
+    return fused_ln_cross_attention(
+        x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads,
+        wk_ip=wk_ip, wv_ip=wv_ip, ip_scale=ip_scale,
+        num_ip_tokens=num_ip_tokens, mask_bias=mask_bias, eps=eps)
+
+
+def _fwd(x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads,
+         wk_ip, wv_ip, ip_scale, num_ip_tokens, mask_bias, eps):
+    out = fused_ln_cross_attention(
+        x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads,
+        wk_ip=wk_ip, wv_ip=wv_ip, ip_scale=ip_scale,
+        num_ip_tokens=num_ip_tokens, mask_bias=mask_bias, eps=eps)
+    return out, (x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo,
+                 wk_ip, wv_ip, ip_scale, mask_bias)
+
+
+def _bwd(heads, num_ip_tokens, eps, res, grad):
+    (x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo,
+     wk_ip, wv_ip, ip_scale, mask_bias) = res
+    if wk_ip is None:
+        def f(x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo, ip_scale):
+            return _xla_reference(x, context, ln_scale, ln_bias, wq, wk, wv,
+                                  wo, bo, heads, None, None, ip_scale,
+                                  num_ip_tokens, mask_bias, eps)
+        _, vjp = jax.vjp(f, x, context, ln_scale, ln_bias, wq, wk, wv, wo,
+                         bo, ip_scale)
+        dx, dctx, dls, dlb, dwq, dwk, dwv, dwo, dbo, dscale = vjp(grad)
+        dmask = None if mask_bias is None else jnp.zeros_like(mask_bias)
+        return (dx, dctx, dls, dlb, dwq, dwk, dwv, dwo, dbo,
+                None, None, dscale, dmask)
+
+    def f(x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo, wk_ip, wv_ip, ip_scale):
+        return _xla_reference(x, context, ln_scale, ln_bias, wq, wk, wv, wo,
+                              bo, heads, wk_ip, wv_ip, ip_scale,
+                              num_ip_tokens, mask_bias, eps)
+    _, vjp = jax.vjp(f, x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo,
+                     wk_ip, wv_ip, ip_scale)
+    dx, dctx, dls, dlb, dwq, dwk, dwv, dwo, dbo, dwki, dwvi, dscale = vjp(grad)
+    dmask = None if mask_bias is None else jnp.zeros_like(mask_bias)
+    return (dx, dctx, dls, dlb, dwq, dwk, dwv, dwo, dbo, dwki, dwvi,
+            dscale, dmask)
+
+
+fused_ln_cross_attention_vjp.defvjp(_fwd, _bwd)
