@@ -17,6 +17,7 @@ DDP. Gradient accumulation uses optax.MultiSteps.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -197,3 +198,90 @@ def make_sharded_train_step(modules, tc, frozen_params, mesh):
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_split_train_step(modules, tc, frozen_params, mesh):
+    """Train step as THREE separately-compiled executables: forward (loss +
+    VJP residuals), backward (residuals -> grads), optimizer update.
+
+    The monolithic fwd+bwd module of the full-scale UNet exceeds what the
+    remote-compile service will accept (broken pipe after ~40-80 min,
+    observed repeatedly); splitting via ``jax.vjp``'s returnable
+    ``tree_util.Partial`` keeps each module roughly fwd-sized. Residuals
+    (small under UNetConfig.remat) stay on device between the calls.
+    Returns train_step(state, batch, rng) with the same contract as
+    make_sharded_train_step.
+    """
+
+    cfg = modules.config
+    tables = make_tables(cfg.scheduler)
+    tx = make_optimizer(tc)
+
+    # identical loss math to make_train_step (kept in sync; the split-step
+    # equivalence test asserts it)
+    def loss_fn(adapter_params, batch, rng):
+        rng_z, rng_noise, rng_t = jax.random.split(rng, 3)
+        latents = modules.vae.apply(
+            {"params": frozen_params["vae"]},
+            batch["mel"].astype(cfg.dtype),
+            rng_z,
+            method=AutoencoderKL.encode,
+        ).astype(jnp.float32)
+        noise = jax.random.normal(rng_noise, latents.shape, dtype=jnp.float32)
+        t = jax.random.randint(
+            rng_t, (latents.shape[0],), 0, cfg.scheduler.num_train_timesteps
+        )
+        noisy = add_noise(tables, latents, noise, t)
+        unet_params = merge_unet_params(adapter_params, frozen_params["unet_frozen"])
+        pred = modules.unet.apply(
+            {"params": unet_params},
+            noisy.astype(cfg.dtype),
+            t.astype(jnp.float32),
+            batch["generated_prompt_embeds"],
+            batch["prompt_embeds"],
+            batch.get("attention_mask"),
+            ip_scale=1.0,
+        ).astype(jnp.float32)
+        if cfg.scheduler.prediction_type == "epsilon":
+            target = noise
+        elif cfg.scheduler.prediction_type == "v_prediction":
+            target = velocity_target(tables, latents, noise, t)
+        else:
+            raise ValueError(cfg.scheduler.prediction_type)
+        err = jnp.square(pred - target)
+        if tc.snr_gamma is not None:
+            a = tables.alphas_cumprod[t]
+            snr = a / (1.0 - a)
+            w = jnp.minimum(snr, tc.snr_gamma) / snr
+            err = err * w[:, None, None, None]
+        return jnp.mean(err)
+
+    rep = mesh_lib.replicated(mesh)
+    dat = mesh_lib.batch_sharding(mesh)
+
+    @functools.partial(jax.jit, in_shardings=(rep, dat, rep))
+    def fwd(adapter, batch, rng):
+        loss, vjp_fn = jax.vjp(lambda a: loss_fn(a, batch, rng), adapter)
+        return loss, vjp_fn
+
+    @jax.jit
+    def bwd(vjp_fn):
+        (grads,) = vjp_fn(jnp.float32(1.0))
+        return grads
+
+    @functools.partial(jax.jit, in_shardings=(rep, rep), donate_argnums=(0,))
+    def update(state, grads):
+        updates, opt_state = tx.update(grads, state.opt_state, state.adapter)
+        adapter = optax.apply_updates(state.adapter, updates)
+        return (
+            TrainState(step=state.step + 1, adapter=adapter, opt_state=opt_state),
+            optax.global_norm(grads),
+        )
+
+    def train_step(state, batch, rng):
+        loss, vjp_fn = fwd(state.adapter, batch, rng)
+        grads = bwd(vjp_fn)
+        state, gnorm = update(state, grads)
+        return state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step

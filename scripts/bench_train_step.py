@@ -39,7 +39,7 @@ def main() -> None:
     from ap_adapter_tpu.parallel import mesh as mesh_lib
     from ap_adapter_tpu.pipeline.pipeline import PipelineModules, cast_params_to
     from ap_adapter_tpu.train.trainer import (
-        TrainConfig, create_train_state, make_sharded_train_step,
+        TrainConfig, create_train_state, make_split_train_step,
     )
 
     config = PipelineConfig()
@@ -57,7 +57,9 @@ def main() -> None:
     frozen = cast_params_to(frozen, jnp.bfloat16)
     state = jax.device_put(state, mesh_lib.replicated(mesh))
     frozen = mesh_lib.replicate_params(mesh, frozen)
-    step_fn = make_sharded_train_step(modules, tc, frozen, mesh)
+    # split fwd/bwd/update executables: the monolithic fwd+bwd module breaks
+    # the remote-compile service at full scale (see trainer.make_split_train_step)
+    step_fn = make_split_train_step(modules, tc, frozen, mesh)
 
     rng = np.random.default_rng(0)
     mel_frames = 1024  # 10 s at 102.4 frames/s (train_apadapter_v2.py:308-336)

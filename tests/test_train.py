@@ -177,3 +177,39 @@ def test_remat_scan_two_blocks_grads(rng):
     # the adapter kernels are stacked [2, ...] along the scan axis
     leaf = jax.tree_util.tree_leaves(state.adapter)[0]
     assert leaf.shape[0] == 2
+
+
+def test_split_train_step_matches_monolithic(rng):
+    """make_split_train_step (separately-compiled fwd/bwd/update) produces
+    the same loss and adapter update as make_sharded_train_step."""
+
+    from ap_adapter_tpu.train.trainer import make_split_train_step
+
+    cfg = tiny_pipeline_config()
+    modules = PipelineModules(cfg)
+    params = modules.init_params(seed=0)
+    tc = TrainConfig(gradient_accumulation_steps=1, learning_rate=1e-3)
+    frozen = {k: v for k, v in params.items() if k != "unet"}
+    state0, frozen_unet = create_train_state(tc, params["unet"])
+    frozen["unet_frozen"] = frozen_unet
+    mesh = mesh_lib.create_mesh()
+    frozen_r = mesh_lib.replicate_params(mesh, frozen)
+
+    batch = _batch(cfg, np.random.default_rng(9), b=8)
+    key = jax.random.PRNGKey(0)
+
+    mono = make_sharded_train_step(modules, tc, frozen_r, mesh)
+    s_m = jax.device_put(state0, mesh_lib.replicated(mesh))
+    s_m, m_m = mono(s_m, mesh_lib.shard_batch(mesh, batch), key)
+
+    split = make_split_train_step(modules, tc, frozen_r, mesh)
+    state1, _ = create_train_state(tc, params["unet"])
+    s_s = jax.device_put(state1, mesh_lib.replicated(mesh))
+    s_s, m_s = split(s_s, mesh_lib.shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(float(m_m["loss"]), float(m_s["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_m["grad_norm"]), float(m_s["grad_norm"]), rtol=1e-4)
+    # separately-compiled executables reassociate fp ops slightly
+    for a, b_ in zip(jax.tree_util.tree_leaves(jax.device_get(s_m.adapter)),
+                     jax.tree_util.tree_leaves(jax.device_get(s_s.adapter))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-6)
