@@ -172,11 +172,11 @@ def fused_ln_cross_attention(
     dc = context.shape[-1]
 
     if mask_bias is None:
-        bias = jnp.zeros((b, skp_text), jnp.float32)
+        bias = jnp.zeros((b, 1, skp_text), jnp.float32)
         has_bias = False
     else:
         bias = jnp.pad(mask_bias.astype(jnp.float32),
-                       ((0, 0), (0, skp_text - mask_bias.shape[1])))
+                       ((0, 0), (0, skp_text - mask_bias.shape[1])))[:, None, :]
         has_bias = True
 
     zeros_w = jnp.zeros((dc, c), dt)
@@ -193,7 +193,7 @@ def fused_ln_cross_attention(
         in_specs=[
             pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, skp_total, dc), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skp_text), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skp_text), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),

@@ -22,6 +22,7 @@ from ap_adapter_tpu.train.trainer import (
     TrainState,
     create_train_state,
     make_sharded_train_step,
+    make_split_train_step,
     merge_unet_params,
 )
 from ap_adapter_tpu.utils.checkpoint import TrainCheckpointer, save_flat_adapter
@@ -79,7 +80,13 @@ def train(
     state = jax.device_put(state, mesh_lib.replicated(mesh))
     frozen = mesh_lib.replicate_params(mesh, frozen)
 
-    step_fn = make_sharded_train_step(modules, tc, frozen, mesh)
+    # TPU: separately-compiled fwd/bwd/update executables — the monolithic
+    # fwd+bwd module exceeds the remote-compile service at full scale
+    # (trainer.make_split_train_step); CPU meshes keep the single jit.
+    if jax.default_backend() == "cpu":
+        step_fn = make_sharded_train_step(modules, tc, frozen, mesh)
+    else:
+        step_fn = make_split_train_step(modules, tc, frozen, mesh)
     logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
 
     rng = jax.random.PRNGKey(tc.seed)

@@ -109,26 +109,16 @@ def create_train_state(tc: TrainConfig, unet_params) -> Tuple[TrainState, Any]:
     return state, frozen_unet
 
 
-def make_train_step(
+def _make_loss_fn(
     modules: PipelineModules,
     tc: TrainConfig,
     frozen_params: Dict[str, Any],
 ) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics).
-
-    ``frozen_params``: {"unet_frozen": <non-adapter unet tree>, "vae": ...}.
-    ``batch``: dict with
-      mel                     [B, T, F, 1]
-      generated_prompt_embeds [B, 8+n_audio, 768]  (GPT-2 ‖ pooled AudioMAE)
-      prompt_embeds           [B, S1, 1024]        (T5 stream)
-      attention_mask          [B, S1]
-    (same contract as the reference collate output,
-    train_apadapter_v2.py:472-479).
-    """
+    """loss_fn(adapter_params, batch, rng) -> scalar MSE (the reference
+    objective, train_apadapter_v2.py:892-954)."""
 
     cfg = modules.config
     tables = make_tables(cfg.scheduler)
-    tx = make_optimizer(tc)
 
     def loss_fn(adapter_params, batch, rng):
         rng_z, rng_noise, rng_t = jax.random.split(rng, 3)
@@ -171,6 +161,29 @@ def make_train_step(
             err = err * w[:, None, None, None]
         return jnp.mean(err)
 
+    return loss_fn
+
+
+def make_train_step(
+    modules: PipelineModules,
+    tc: TrainConfig,
+    frozen_params: Dict[str, Any],
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ``frozen_params``: {"unet_frozen": <non-adapter unet tree>, "vae": ...}.
+    ``batch``: dict with
+      mel                     [B, T, F, 1]
+      generated_prompt_embeds [B, 8+n_audio, 768]  (GPT-2 ‖ pooled AudioMAE)
+      prompt_embeds           [B, S1, 1024]        (T5 stream)
+      attention_mask          [B, S1]
+    (same contract as the reference collate output,
+    train_apadapter_v2.py:472-479).
+    """
+
+    tx = make_optimizer(tc)
+    loss_fn = _make_loss_fn(modules, tc, frozen_params)
+
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         loss, grads = jax.value_and_grad(loss_fn)(state.adapter, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.adapter)
@@ -200,6 +213,58 @@ def make_sharded_train_step(modules, tc, frozen_params, mesh):
     )
 
 
+def make_accum_train_step(modules, tc, frozen_params, mesh):
+    """Gradient accumulation as a ``lax.scan`` over microbatches: ONE
+    optimizer step per call over ``tc.gradient_accumulation_steps`` stacked
+    microbatches (the train.sh batch 8 x accum 4 recipe).
+
+    Besides being the natural accumulation structure (no optax.MultiSteps
+    bookkeeping), the scan places the UNet fwd+bwd inside a loop BODY —
+    the same shape as the inference pipeline's 50-step denoise scan, which
+    the remote-compile service handles, where the flat fwd+bwd module does
+    not (repeated broken-pipe failures; see make_split_train_step).
+
+    ``batch`` leaves here are [K, B_micro, ...] (K = accumulation steps).
+    The optimizer is the plain AdamW chain (no MultiSteps), so ``state``
+    must come from ``create_train_state`` with a tc whose
+    gradient_accumulation_steps == 1.
+    """
+
+    tc_inner = dataclasses.replace(tc, gradient_accumulation_steps=1)
+    tx = make_optimizer(tc_inner)
+    loss_and_grad = jax.value_and_grad(
+        _make_loss_fn(modules, tc, frozen_params))
+
+    k = tc.gradient_accumulation_steps
+    rep = mesh_lib.replicated(mesh)
+    # [K, B_micro, ...]: microbatch axis unsharded, batch axis over 'data'
+    dat = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+
+    @functools.partial(jax.jit, in_shardings=(rep, dat, rep),
+                       out_shardings=(rep, rep), donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        rngs = jax.random.split(rng, k)
+
+        def body(acc, xs):
+            mb, r = xs
+            loss, grads = loss_and_grad(state.adapter, mb, r)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return acc, loss
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.adapter)
+        grads, losses = jax.lax.scan(body, zeros, (batch, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / k, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.adapter)
+        adapter = optax.apply_updates(state.adapter, updates)
+        return (
+            TrainState(step=state.step + 1, adapter=adapter, opt_state=opt_state),
+            {"loss": jnp.mean(losses), "grad_norm": optax.global_norm(grads)},
+        )
+
+    return train_step
+
+
 def make_split_train_step(modules, tc, frozen_params, mesh):
     """Train step as THREE separately-compiled executables: forward (loss +
     VJP residuals), backward (residuals -> grads), optimizer update.
@@ -213,48 +278,8 @@ def make_split_train_step(modules, tc, frozen_params, mesh):
     make_sharded_train_step.
     """
 
-    cfg = modules.config
-    tables = make_tables(cfg.scheduler)
     tx = make_optimizer(tc)
-
-    # identical loss math to make_train_step (kept in sync; the split-step
-    # equivalence test asserts it)
-    def loss_fn(adapter_params, batch, rng):
-        rng_z, rng_noise, rng_t = jax.random.split(rng, 3)
-        latents = modules.vae.apply(
-            {"params": frozen_params["vae"]},
-            batch["mel"].astype(cfg.dtype),
-            rng_z,
-            method=AutoencoderKL.encode,
-        ).astype(jnp.float32)
-        noise = jax.random.normal(rng_noise, latents.shape, dtype=jnp.float32)
-        t = jax.random.randint(
-            rng_t, (latents.shape[0],), 0, cfg.scheduler.num_train_timesteps
-        )
-        noisy = add_noise(tables, latents, noise, t)
-        unet_params = merge_unet_params(adapter_params, frozen_params["unet_frozen"])
-        pred = modules.unet.apply(
-            {"params": unet_params},
-            noisy.astype(cfg.dtype),
-            t.astype(jnp.float32),
-            batch["generated_prompt_embeds"],
-            batch["prompt_embeds"],
-            batch.get("attention_mask"),
-            ip_scale=1.0,
-        ).astype(jnp.float32)
-        if cfg.scheduler.prediction_type == "epsilon":
-            target = noise
-        elif cfg.scheduler.prediction_type == "v_prediction":
-            target = velocity_target(tables, latents, noise, t)
-        else:
-            raise ValueError(cfg.scheduler.prediction_type)
-        err = jnp.square(pred - target)
-        if tc.snr_gamma is not None:
-            a = tables.alphas_cumprod[t]
-            snr = a / (1.0 - a)
-            w = jnp.minimum(snr, tc.snr_gamma) / snr
-            err = err * w[:, None, None, None]
-        return jnp.mean(err)
+    loss_fn = _make_loss_fn(modules, tc, frozen_params)
 
     rep = mesh_lib.replicated(mesh)
     dat = mesh_lib.batch_sharding(mesh)

@@ -19,8 +19,10 @@ from __future__ import annotations
 import json
 import time
 
+import os as _os
+
 A100_BASELINE_CLIPS_PER_S = 0.25
-BATCH = 8
+BATCH = int(_os.environ.get("AP_BENCH_BATCH", "8"))
 STEPS = 50
 SECONDS = 10.0
 

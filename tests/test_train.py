@@ -213,3 +213,33 @@ def test_split_train_step_matches_monolithic(rng):
     for a, b_ in zip(jax.tree_util.tree_leaves(jax.device_get(s_m.adapter)),
                      jax.tree_util.tree_leaves(jax.device_get(s_s.adapter))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-6)
+
+
+def test_accum_train_step_scan(rng):
+    """make_accum_train_step: one optimizer step over K stacked microbatches
+    (scan-based accumulation); loss finite, adapter updated."""
+
+    from ap_adapter_tpu.train.trainer import make_accum_train_step
+
+    cfg = tiny_pipeline_config()
+    modules = PipelineModules(cfg)
+    params = modules.init_params(seed=0)
+    k = 2
+    tc = TrainConfig(gradient_accumulation_steps=k, learning_rate=1e-3)
+    tc1 = TrainConfig(gradient_accumulation_steps=1, learning_rate=1e-3)
+    frozen = {k_: v for k_, v in params.items() if k_ != "unet"}
+    state, frozen_unet = create_train_state(tc1, params["unet"])
+    frozen["unet_frozen"] = frozen_unet
+    mesh = mesh_lib.create_mesh()
+    frozen_r = mesh_lib.replicate_params(mesh, frozen)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+    step = make_accum_train_step(modules, tc, frozen_r, mesh)
+    b = _batch(cfg, np.random.default_rng(4), b=2 * 8)
+    stacked = {kk: jnp.asarray(np.reshape(v, (k, 8) + v.shape[1:])) for kk, v in b.items()}
+    before = jax.tree_util.tree_leaves(jax.device_get(state.adapter))[0].copy()
+    state, metrics = step(state, stacked, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    after = jax.tree_util.tree_leaves(jax.device_get(state.adapter))[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    assert int(state.step) == 1
