@@ -112,15 +112,21 @@ def create_train_state(tc: TrainConfig, unet_params) -> Tuple[TrainState, Any]:
 def _make_loss_fn(
     modules: PipelineModules,
     tc: TrainConfig,
-    frozen_params: Dict[str, Any],
 ) -> Callable:
-    """loss_fn(adapter_params, batch, rng) -> scalar MSE (the reference
-    objective, train_apadapter_v2.py:892-954)."""
+    """loss_fn(adapter_params, frozen_params, batch, rng) -> scalar MSE (the
+    reference objective, train_apadapter_v2.py:892-954).
+
+    ``frozen_params`` is an explicit ARGUMENT, never a closure: closed-over
+    param trees become HLO constants, and a module carrying 740M literal
+    weights breaks the remote-compile transport (this exact failure burned
+    hours of r2 as "broken pipe" — and r1's entry() notes already warned
+    about it).
+    """
 
     cfg = modules.config
     tables = make_tables(cfg.scheduler)
 
-    def loss_fn(adapter_params, batch, rng):
+    def loss_fn(adapter_params, frozen_params, batch, rng):
         rng_z, rng_noise, rng_t = jax.random.split(rng, 3)
         latents = modules.vae.apply(
             {"params": frozen_params["vae"]},
@@ -182,10 +188,10 @@ def make_train_step(
     """
 
     tx = make_optimizer(tc)
-    loss_fn = _make_loss_fn(modules, tc, frozen_params)
+    loss_fn = _make_loss_fn(modules, tc)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.adapter, batch, rng)
+        loss, grads = jax.value_and_grad(loss_fn)(state.adapter, frozen_params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.adapter)
         adapter = optax.apply_updates(state.adapter, updates)
         gnorm = optax.global_norm(grads)
@@ -201,16 +207,26 @@ def make_sharded_train_step(modules, tc, frozen_params, mesh):
     """jit the train step with GSPMD shardings: batch over 'data', params
     replicated. Donates state to keep optimizer memory in place."""
 
-    step_fn = make_train_step(modules, tc, frozen_params)
+    tx = make_optimizer(tc)
+    loss_fn = _make_loss_fn(modules, tc)
     rep = mesh_lib.replicated(mesh)
     dat = mesh_lib.batch_sharding(mesh)
 
-    return jax.jit(
-        step_fn,
-        in_shardings=(rep, dat, rep),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,),
-    )
+    @functools.partial(jax.jit, in_shardings=(rep, rep, dat, rep),
+                       out_shardings=(rep, rep), donate_argnums=(0,))
+    def step_impl(state, frozen, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.adapter, frozen, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.adapter)
+        adapter = optax.apply_updates(state.adapter, updates)
+        return (
+            TrainState(step=state.step + 1, adapter=adapter, opt_state=opt_state),
+            {"loss": loss, "grad_norm": optax.global_norm(grads)},
+        )
+
+    # frozen params travel as a jit ARGUMENT (device-resident), never a
+    # closure — closed-over trees become HLO constants and a module carrying
+    # 740M literal weights breaks the remote-compile transport
+    return lambda state, batch, rng: step_impl(state, frozen_params, batch, rng)
 
 
 def make_accum_train_step(modules, tc, frozen_params, mesh):
@@ -232,22 +248,21 @@ def make_accum_train_step(modules, tc, frozen_params, mesh):
 
     tc_inner = dataclasses.replace(tc, gradient_accumulation_steps=1)
     tx = make_optimizer(tc_inner)
-    loss_and_grad = jax.value_and_grad(
-        _make_loss_fn(modules, tc, frozen_params))
+    loss_and_grad = jax.value_and_grad(_make_loss_fn(modules, tc))
 
     k = tc.gradient_accumulation_steps
     rep = mesh_lib.replicated(mesh)
     # [K, B_micro, ...]: microbatch axis unsharded, batch axis over 'data'
     dat = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
 
-    @functools.partial(jax.jit, in_shardings=(rep, dat, rep),
+    @functools.partial(jax.jit, in_shardings=(rep, rep, dat, rep),
                        out_shardings=(rep, rep), donate_argnums=(0,))
-    def train_step(state, batch, rng):
+    def step_impl(state, frozen, batch, rng):
         rngs = jax.random.split(rng, k)
 
         def body(acc, xs):
             mb, r = xs
-            loss, grads = loss_and_grad(state.adapter, mb, r)
+            loss, grads = loss_and_grad(state.adapter, frozen, mb, r)
             acc = jax.tree_util.tree_map(jnp.add, acc, grads)
             return acc, loss
 
@@ -262,7 +277,8 @@ def make_accum_train_step(modules, tc, frozen_params, mesh):
             {"loss": jnp.mean(losses), "grad_norm": optax.global_norm(grads)},
         )
 
-    return train_step
+    # frozen as jit argument: see make_sharded_train_step comment
+    return lambda state, batch, rng: step_impl(state, frozen_params, batch, rng)
 
 
 def make_split_train_step(modules, tc, frozen_params, mesh):
@@ -279,14 +295,14 @@ def make_split_train_step(modules, tc, frozen_params, mesh):
     """
 
     tx = make_optimizer(tc)
-    loss_fn = _make_loss_fn(modules, tc, frozen_params)
+    loss_fn = _make_loss_fn(modules, tc)
 
     rep = mesh_lib.replicated(mesh)
     dat = mesh_lib.batch_sharding(mesh)
 
-    @functools.partial(jax.jit, in_shardings=(rep, dat, rep))
-    def fwd(adapter, batch, rng):
-        loss, vjp_fn = jax.vjp(lambda a: loss_fn(a, batch, rng), adapter)
+    @functools.partial(jax.jit, in_shardings=(rep, rep, dat, rep))
+    def fwd(adapter, frozen, batch, rng):
+        loss, vjp_fn = jax.vjp(lambda a: loss_fn(a, frozen, batch, rng), adapter)
         return loss, vjp_fn
 
     @jax.jit
@@ -304,7 +320,7 @@ def make_split_train_step(modules, tc, frozen_params, mesh):
         )
 
     def train_step(state, batch, rng):
-        loss, vjp_fn = fwd(state.adapter, batch, rng)
+        loss, vjp_fn = fwd(state.adapter, frozen_params, batch, rng)
         grads = bwd(vjp_fn)
         state, gnorm = update(state, grads)
         return state, {"loss": loss, "grad_norm": gnorm}
