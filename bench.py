@@ -22,7 +22,9 @@ import time
 import os as _os
 
 A100_BASELINE_CLIPS_PER_S = 0.25
-BATCH = int(_os.environ.get("AP_BENCH_BATCH", "8"))
+# throughput metric: batch amortizes fixed per-step work; measured r2 on one
+# v5e chip: batch 8 -> 2.09, 16 -> 2.20, 24 -> 2.24 clips/s
+BATCH = int(_os.environ.get("AP_BENCH_BATCH", "24"))
 STEPS = 50
 SECONDS = 10.0
 
