@@ -128,14 +128,20 @@ def generate_style_transfer(
     if fbank is not None:
         fbank = jnp.broadcast_to(fbank, (b, *fbank.shape[1:]))
 
-    fn = jax.jit(
-        lambda params, rng, src, fb, tp, tn, g, s: sdedit_generate_waveform(
-            pipe.modules, params, rng, src, fb, tp, tn,
-            num_inference_steps=num_inference_steps,
-            guidance_scale=g, ap_scale=s,
-            time_pool=time_pool, freq_pool=freq_pool, mel_frames=mel_frames,
+    # one jitted executable per shape bucket, cached on the pipeline —
+    # re-jitting per call would re-trace the full graph every time
+    key = ("sdedit", b, wav.shape[-1], fbank is not None,
+           num_inference_steps, time_pool, freq_pool, mel_frames)
+    if key not in pipe._jitted:
+        pipe._jitted[key] = jax.jit(
+            lambda params, rng, src, fb, tp, tn, g, s: sdedit_generate_waveform(
+                pipe.modules, params, rng, src, fb, tp, tn,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=g, ap_scale=s,
+                time_pool=time_pool, freq_pool=freq_pool, mel_frames=mel_frames,
+            )
         )
-    )
+    fn = pipe._jitted[key]
     wavs = fn(
         pipe.params, jax.random.PRNGKey(seed), source, fbank, text_pos, text_neg,
         jnp.asarray(guidance_scale, jnp.float32), jnp.asarray(ap_scale, jnp.float32),
