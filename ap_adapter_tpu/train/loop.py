@@ -29,6 +29,20 @@ from ap_adapter_tpu.utils.checkpoint import TrainCheckpointer, save_flat_adapter
 from ap_adapter_tpu.utils.logging import MetricsLogger
 
 
+def _stack_microbatches(batches, k: int):
+    """Group k consecutive loader batches into [k, B, ...] stacked leaves."""
+
+    import numpy as np
+
+    buf = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == k:
+            yield jax.tree_util.tree_map(lambda *xs: np.stack(
+                [jax.device_get(x) for x in xs]), *buf)
+            buf = []
+
+
 def train(
     modules: PipelineModules,
     params: Dict[str, Any],
@@ -61,12 +75,19 @@ def train(
     restarts (the reference dataloader does too).
     """
 
+    import dataclasses
+
     os.makedirs(output_dir, exist_ok=True)
     mesh = mesh or mesh_lib.create_mesh()
     max_steps = max_steps or tc.max_train_steps
 
+    # the scan-accumulated TPU step owns accumulation itself, so its
+    # optimizer state is the PLAIN AdamW chain (no optax.MultiSteps)
+    accum_scan = jax.default_backend() != "cpu" and tc.gradient_accumulation_steps > 1
+    state_tc = dataclasses.replace(tc, gradient_accumulation_steps=1) if accum_scan else tc
+
     frozen = {k: v for k, v in params.items() if k != "unet"}
-    state, frozen_unet = create_train_state(tc, params["unet"])
+    state, frozen_unet = create_train_state(state_tc, params["unet"])
     frozen["unet_frozen"] = frozen_unet
 
     ckpt = TrainCheckpointer(os.path.join(output_dir, "checkpoints"))
@@ -80,11 +101,20 @@ def train(
     state = jax.device_put(state, mesh_lib.replicated(mesh))
     frozen = mesh_lib.replicate_params(mesh, frozen)
 
-    # TPU: separately-compiled fwd/bwd/update executables — the monolithic
-    # fwd+bwd module exceeds the remote-compile service at full scale
-    # (trainer.make_split_train_step); CPU meshes keep the single jit.
+    # CPU meshes: single jit with optax.MultiSteps (micro-step counting).
+    # TPU with accumulation: the scan-of-microbatches step (verified to
+    # compile and measured at full scale — see docs/PERF.md); the loop then
+    # stacks K consecutive loader batches per optimizer step, and ``step``
+    # counts OPTIMIZER steps (matching the reference's global_step,
+    # train_apadapter_v2.py:979-987). TPU without accumulation: the split
+    # fwd/bwd executables.
     if jax.default_backend() == "cpu":
         step_fn = make_sharded_train_step(modules, tc, frozen, mesh)
+    elif accum_scan:
+        from ap_adapter_tpu.train.trainer import make_accum_train_step
+
+        step_fn = make_accum_train_step(modules, tc, frozen, mesh)
+        batches = _stack_microbatches(batches, tc.gradient_accumulation_steps)
     else:
         step_fn = make_split_train_step(modules, tc, frozen, mesh)
     logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
@@ -100,8 +130,10 @@ def train(
             from ap_adapter_tpu.parallel.distributed import shard_host_batch
 
             batch = shard_host_batch(mesh, batch)
-        else:
+        elif not accum_scan:
             batch = mesh_lib.shard_batch(mesh, batch)
+        # accum_scan batches are [K, B, ...]; the step's in_shardings place
+        # them (microbatch axis unsharded, batch axis over 'data')
         state, metrics = step_fn(state, batch, step_rng)
 
         is_host0 = jax.process_index() == 0
