@@ -1,8 +1,16 @@
 """Batched evaluation runner over the reference eval sets.
 
 Drives config 4 of BASELINE.json: all 50 clips from eval_audio_in_domain/ +
-eval_audio_out_of_domain/ through a task template at batch 8, reporting
-throughput and FAD between sources and edits.
+eval_audio_out_of_domain/ through a task template at batch 8.
+
+Two FAD numbers come out (run_eval_protocol), mirroring the paper's protocol
+(reference README.md:5-10 eval dirs + frechet-audio-distance tooling):
+
+- ``fad_<domain>``: generated set vs that domain's REFERENCE set — the
+  paper-comparable quality number, computed per domain (in_domain /
+  out_of_domain) in the CLAP-audio-tower embedding space.
+- ``fad_faithfulness_<domain>``: each domain's generated set vs its own
+  SOURCE clips — a secondary edit-faithfulness number (not in the paper).
 """
 
 from __future__ import annotations
@@ -28,6 +36,25 @@ def eval_clips(dirs: List[str]) -> List[str]:
     return paths
 
 
+def _embed_wavs(pipe, scorer, wavs_with_sr) -> np.ndarray:
+    """[(wav, sr), ...] -> [N, D]; each clip embedded AT ITS OWN sample rate
+    (a single shared sr would resample mixed-rate clips incorrectly)."""
+
+    if scorer is not None:
+        # group consecutive same-sr clips so same-length batches share a jit
+        out, i = [], 0
+        while i < len(wavs_with_sr):
+            sr = wavs_with_sr[i][1]
+            j = i
+            while j < len(wavs_with_sr) and wavs_with_sr[j][1] == sr:
+                j += 1
+            out.append(clap_audio_embeddings(
+                scorer, [w for w, _ in wavs_with_sr[i:j]], sr))
+            i = j
+        return np.concatenate(out)
+    return np.stack([audiomae_clip_embedding(pipe, w, sr) for w, sr in wavs_with_sr])
+
+
 def run_batched_eval(
     pipe: AudioLDM2Pipeline,
     clip_paths: List[str],
@@ -37,15 +64,21 @@ def run_batched_eval(
     compute_fad: bool = True,
     output_dir: Optional[str] = None,
     scorer=None,
+    return_embeddings: bool = False,
 ):
     """Edit every clip (prompt = task's first positive prompt); returns
     {clips_per_s, fad, n} and optionally writes the edited wavs.
 
     FAD embedding space: the CLAP audio tower when ``scorer`` (a
     eval.clap_scoring.ClapScorer) is given — the standard, checkpoint-
-    anchored space — else the AudioMAE fallback. All embedding and IO work
-    happens OUTSIDE the timed window; throughput times generate() only,
-    excluding the first (compile) batch.
+    anchored space — else the AudioMAE fallback. The in-function FAD is the
+    SOURCE-vs-EDIT faithfulness number; the paper-comparable generated-vs-
+    reference-set protocol lives in ``run_eval_protocol``. All embedding and
+    IO work happens OUTSIDE the timed window; throughput times generate()
+    only, excluding the first (compile) batch.
+
+    ``return_embeddings``: also return (src_embeds, gen_embeds) [N, D] for
+    cross-set aggregation.
     """
 
     cfg = pipe.config
@@ -96,21 +129,76 @@ def run_batched_eval(
         "n": n_done,
         "clips_per_s": (n_done - batch_size) / wall if wall > 0 else float("nan"),
     }
+    src_e = gen_e = None
     if compute_fad and n_done > 1:
-        if scorer is not None:
-            src_e = clap_audio_embeddings(scorer, [w for w, _ in src_wavs], src_wavs[0][1])
-            gen_e = np.concatenate(
-                [clap_audio_embeddings(scorer, batch, sr_out) for batch in all_edits]
-            )
-            result["fad_clap"] = fad(src_e, gen_e)
-        else:
-            src_e = np.stack([audiomae_clip_embedding(pipe, w, sr) for w, sr in src_wavs])
-            gen_e = np.stack([
-                audiomae_clip_embedding(pipe, w, sr_out)
-                for batch in all_edits for w in batch
-            ])
-            result["fad_audiomae"] = fad(src_e, gen_e)
+        src_e = _embed_wavs(pipe, scorer, src_wavs)
+        gen_e = _embed_wavs(
+            pipe, scorer, [(w, sr_out) for batch in all_edits for w in batch])
+        result["fad_clap" if scorer is not None else "fad_audiomae"] = fad(src_e, gen_e)
+    if return_embeddings:
+        return result, src_e, gen_e
     return result
+
+
+def run_eval_protocol(
+    pipe,
+    domains: dict,
+    task: TaskConfig,
+    batch_size: int = 8,
+    tokenizers=None,
+    output_dir: Optional[str] = None,
+    scorer=None,
+):
+    """The paper's FAD protocol over the reference eval sets.
+
+    ``domains``: {name: {"source": [dirs], "reference": [dirs]}}. Per
+    domain, every SOURCE clip is edited with the task template, then:
+
+    - ``fad_<name>``: FAD(REFERENCE-set embeds, generated embeds) — the
+      paper-comparable quality number. The reference set is the real-
+      recording distribution the edits should land in (the in-domain set
+      for timbre transfer, regardless of where the sources came from) —
+      NOT automatically the source set.
+    - ``fad_faithfulness_<name>``: FAD(source embeds, generated embeds) —
+      the secondary source-vs-edit number (how far the edit strayed).
+    - overall ``clips_per_s`` across domains.
+
+    Reference: README.md:5-10 (eval dirs), pipeline_audioldm2.py:592-614
+    (CLAP machinery); embedding space is the CLAP audio tower when
+    ``scorer`` is given.
+    """
+
+    out = {"embedding_space": "clap_audio" if scorer is not None else "audiomae",
+           "task": getattr(task, "name", None) or "custom"}
+    total_clips, wall_rates = 0, []
+    for name, spec in domains.items():
+        clips = eval_clips(spec["source"])
+        if not clips:
+            continue
+        dom_out = os.path.join(output_dir, name) if output_dir else None
+        res, src_e, gen_e = run_batched_eval(
+            pipe, clips, task, batch_size=batch_size, tokenizers=tokenizers,
+            compute_fad=True, output_dir=dom_out, scorer=scorer,
+            return_embeddings=True,
+        )
+        if gen_e is not None:
+            ref_paths = eval_clips(spec.get("reference", spec["source"]))
+            if ref_paths == clips:  # reference set == source set: reuse embeds
+                ref_e = src_e
+            else:
+                ref_wavs = [load_wav(p) for p in ref_paths]
+                ref_e = _embed_wavs(pipe, scorer, ref_wavs)
+            out[f"fad_{name}"] = fad(ref_e, gen_e)
+            out[f"fad_faithfulness_{name}"] = res.get("fad_clap",
+                                                      res.get("fad_audiomae"))
+        out[f"n_{name}"] = res["n"]
+        total_clips += res["n"]
+        if np.isfinite(res["clips_per_s"]):
+            wall_rates.append(res["clips_per_s"])
+    out["n_total"] = total_clips
+    if wall_rates:
+        out["clips_per_s"] = float(np.mean(wall_rates))
+    return out
 
 
 def main(argv=None):
@@ -123,8 +211,15 @@ def main(argv=None):
     from ap_adapter_tpu.pipeline.tasks import load_pipeline
 
     p = argparse.ArgumentParser(description="batched eval sweep")
-    p.add_argument("--clip-dirs", nargs="+", required=True,
-                   help="e.g. eval_audio_in_domain eval_audio_out_of_domain")
+    p.add_argument("--clip-dirs", nargs="+", default=None,
+                   help="flat sweep over these dirs (throughput + "
+                        "faithfulness FAD only)")
+    p.add_argument("--in-domain-dirs", nargs="+", default=None,
+                   help="protocol mode: in-domain source+reference set "
+                        "(e.g. eval_audio_in_domain)")
+    p.add_argument("--out-of-domain-dirs", nargs="+", default=None,
+                   help="protocol mode: out-of-domain source set; its "
+                        "reference set defaults to --in-domain-dirs")
     p.add_argument("--task", default="timbre_transfer")
     p.add_argument("--checkpoint-dir", default="", help="converted checkpoint dir")
     p.add_argument("--adapter-ckpt", default="")
@@ -151,11 +246,24 @@ def main(argv=None):
         scorer = ClapScorer(config.clap, ClapAudioConfig(),
                             {"text": loaded["clap"], "audio": loaded["clap_audio"]})
 
-    result = run_batched_eval(
-        pipe, eval_clips(args.clip_dirs), task, batch_size=args.batch_size,
-        compute_fad=not args.no_fad, output_dir=args.output_dir or None,
-        scorer=scorer,
-    )
+    if args.in_domain_dirs:
+        domains = {"in_domain": {"source": args.in_domain_dirs,
+                                 "reference": args.in_domain_dirs}}
+        if args.out_of_domain_dirs:
+            domains["out_of_domain"] = {"source": args.out_of_domain_dirs,
+                                        "reference": args.in_domain_dirs}
+        result = run_eval_protocol(
+            pipe, domains, task, batch_size=args.batch_size,
+            output_dir=args.output_dir or None, scorer=scorer,
+        )
+    else:
+        if not args.clip_dirs:
+            p.error("pass --in-domain-dirs (protocol) or --clip-dirs (sweep)")
+        result = run_batched_eval(
+            pipe, eval_clips(args.clip_dirs), task, batch_size=args.batch_size,
+            compute_fad=not args.no_fad, output_dir=args.output_dir or None,
+            scorer=scorer,
+        )
     print(json.dumps(result))
 
 

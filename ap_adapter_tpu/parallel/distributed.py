@@ -89,18 +89,26 @@ def host_local_batch_size(global_batch: int) -> int:
     return global_batch // n
 
 
-def shard_host_batch(mesh, batch: Any):
+def shard_host_batch(mesh, batch: Any, spec=None):
     """Assemble a GLOBAL batch-sharded array from each host's LOCAL shard.
 
     Every process passes its own [local_batch, ...] arrays; the result is a
-    jax.Array whose global leading dim is local_batch * process_count, laid
+    jax.Array whose global batch dim is local_batch * process_count, laid
     over the mesh's 'data' axis. Single-process: equivalent to
     mesh_lib.shard_batch.
+
+    ``spec`` picks which axis is the batch axis: default ``P('data')``
+    (leading). Stacked accumulation batches [K, B_local, ...] must pass
+    ``P(None, 'data')`` so the GLOBAL batch axis (1) is assembled across
+    processes while the microbatch axis K stays whole on every host —
+    sharding axis 0 would scatter the K microbatches across processes
+    (global [K*P, B] instead of [K, B*P]) and break the scan-accumulated
+    step's contract.
     """
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P("data"))
+    sharding = NamedSharding(mesh, spec if spec is not None else P("data"))
 
     def place(x):
         return jax.make_array_from_process_local_data(sharding, x)

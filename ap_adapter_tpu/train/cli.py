@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--train-batch-size", type=int, default=8)
     p.add_argument("--gradient-accumulation-steps", type=int, default=4)
     p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--lr-scheduler", default="constant",
+                   choices=["constant", "constant_with_warmup", "linear", "cosine"],
+                   help="LR schedule (reference train_apadapter_v2.py:125-134)")
+    p.add_argument("--lr-warmup-steps", type=int, default=500)
     p.add_argument("--scale-lr", action="store_true")
     p.add_argument("--adam-beta1", type=float, default=0.9)
     p.add_argument("--adam-beta2", type=float, default=0.999)
@@ -43,6 +47,12 @@ def main(argv=None):
                    help="flat adapter dict (.npz or torch .bin)")
     p.add_argument("--random-weights", action="store_true",
                    help="random base weights (pipeline smoke mode)")
+    p.add_argument("--num-validation-audio-files", type=int, default=3,
+                   help="validation wavs generated per round "
+                        "(reference train_apadapter_v2.py:193)")
+    p.add_argument("--report-to", default="jsonl",
+                   choices=["jsonl", "tensorboard", "wandb"],
+                   help="extra metrics backend (JSONL is always written)")
     p.add_argument("--no-validation", action="store_true",
                    help="disable periodic validation wav sampling")
     args = p.parse_args(argv)
@@ -81,6 +91,8 @@ def main(argv=None):
 
     tc = TrainConfig(
         learning_rate=lr,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
         adam_beta1=args.adam_beta1,
         adam_beta2=args.adam_beta2,
         adam_weight_decay=args.adam_weight_decay,
@@ -109,10 +121,11 @@ def main(argv=None):
         validation_fn = make_validation_fn(
             modules, pipe.params, dataset, args.output_dir,
             audio_length_in_s=args.duration, seed=args.seed,
+            num_files=args.num_validation_audio_files,
         )
 
     train(modules, pipe.params, batches, tc, args.output_dir, mesh=mesh,
-          validation_fn=validation_fn)
+          validation_fn=validation_fn, report_to=args.report_to)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,7 @@ def train(
     log_every: int = 50,
     validation_fn=None,
     resume: bool = True,
+    report_to: str = "jsonl",
 ) -> TrainState:
     """Run adapter finetuning. ``batches`` yields collated device batches.
 
@@ -117,7 +118,13 @@ def train(
         batches = _stack_microbatches(batches, tc.gradient_accumulation_steps)
     else:
         step_fn = make_split_train_step(modules, tc, frozen, mesh)
-    logger = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
+    logger = MetricsLogger(
+        os.path.join(output_dir, "metrics.jsonl"),
+        tensorboard_dir=(os.path.join(output_dir, "tb")
+                         if report_to == "tensorboard" else None),
+        wandb_project="ap_adapter_tpu" if report_to == "wandb" else None,
+        wandb_config={"max_steps": max_steps, **dataclasses.asdict(tc)},
+    )
 
     rng = jax.random.PRNGKey(tc.seed)
     t0 = time.time()
@@ -126,10 +133,15 @@ def train(
             break
         step_rng = jax.random.fold_in(rng, step)
         if jax.process_count() > 1:
-            # each host contributes its local shard of the global batch
+            # each host contributes its local shard of the global batch;
+            # stacked accumulation batches are [K, B_local, ...], so the
+            # batch axis to assemble across hosts is axis 1, not 0
+            from jax.sharding import PartitionSpec as P
+
             from ap_adapter_tpu.parallel.distributed import shard_host_batch
 
-            batch = shard_host_batch(mesh, batch)
+            spec = P(None, "data") if accum_scan else P("data")
+            batch = shard_host_batch(mesh, batch, spec)
         elif not accum_scan:
             batch = mesh_lib.shard_batch(mesh, batch)
         # accum_scan batches are [K, B, ...]; the step's in_shardings place

@@ -39,6 +39,11 @@ class TrainConfig:
     grad clip 1.0, effective batch 32 (8 x accum 4 by default here)."""
 
     learning_rate: float = 1e-4
+    # HF get_scheduler parity (train_apadapter_v2.py:125-134, 809-815):
+    # reference default is constant (train.sh passes no --lr_scheduler);
+    # warmup counts OPTIMIZER steps, matching the reference's global_step.
+    lr_scheduler: str = "constant"  # constant|constant_with_warmup|linear|cosine
+    lr_warmup_steps: int = 500
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
@@ -80,11 +85,33 @@ def merge_unet_params(adapter, frozen):
     return traverse_util.unflatten_dict(flat)
 
 
+def make_lr_schedule(tc: TrainConfig) -> optax.Schedule:
+    """optax schedule matching HF diffusers ``get_scheduler`` semantics for
+    the four variants the reference trainer exposes
+    (train_apadapter_v2.py:125-134, 809-815): linear warmup from 0 over
+    ``lr_warmup_steps`` (except plain constant), then constant / linear-to-0
+    at ``max_train_steps`` / half-cosine-to-0."""
+
+    lr, w, total = tc.learning_rate, tc.lr_warmup_steps, tc.max_train_steps
+    if tc.lr_scheduler == "constant":
+        return optax.constant_schedule(lr)
+    warmup = optax.linear_schedule(0.0, lr, max(w, 1))
+    if tc.lr_scheduler == "constant_with_warmup":
+        tail: optax.Schedule = optax.constant_schedule(lr)
+    elif tc.lr_scheduler == "linear":
+        tail = optax.linear_schedule(lr, 0.0, max(total - w, 1))
+    elif tc.lr_scheduler == "cosine":
+        tail = optax.cosine_decay_schedule(lr, max(total - w, 1))
+    else:
+        raise ValueError(f"unknown lr_scheduler: {tc.lr_scheduler!r}")
+    return optax.join_schedules([warmup, tail], [w])
+
+
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     tx = optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
         optax.adamw(
-            tc.learning_rate,
+            make_lr_schedule(tc),
             b1=tc.adam_beta1,
             b2=tc.adam_beta2,
             eps=tc.adam_epsilon,

@@ -35,12 +35,18 @@ def make_validation_fn(
     audio_length_in_s: float = 10.0,
     seed: int = 0,
     negative_prompt: str = "low quality, average quality",
+    num_files: int = 1,
 ):
     """Build a ``validation_fn(step, unet_params)`` for train.loop.train().
 
     ``dataset`` is any indexable yielding (caption, waveform_16k) pairs
     (e.g. train.data.AudioSetDataset). The generate call reuses one jitted
     executable per pooling rate across validation rounds.
+
+    ``num_files`` clips are sampled per round and generated as ONE batched
+    call at a shared pooling rate (reference --num_validation_audio_files,
+    train_apadapter_v2.py:193,515 — there a Python loop of single-clip
+    generations; batching keeps one executable per (pool, N) on TPU).
     """
 
     from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline
@@ -53,13 +59,16 @@ def make_validation_fn(
     frozen = {k: v for k, v in params.items() if k != "unet"}
 
     def validation_fn(step: int, unet_params: Dict[str, Any]) -> str:
-        caption, wav = dataset[rng.randrange(len(dataset))]
+        n = max(1, min(num_files, len(dataset)))
+        picks = [dataset[rng.randrange(len(dataset))] for _ in range(n)]
+        captions = [c for c, _ in picks]
         # random pooling rate, restricted to what the encoder grid divides
         # evenly (full scale: 64x8 grid -> all of {1,2,4,8} as the reference)
         gt, gf = cfg.audiomae.grid_size
         pool = rng.choice([p for p in POOL_CHOICES if gt % p == 0 and gf % p == 0])
 
-        fbank = audiomae_fbank(np.asarray(wav, np.float32)[None], cfg.fbank)
+        fbank = audiomae_fbank(
+            np.stack([np.asarray(w, np.float32) for _, w in picks]), cfg.fbank)
         # crop/pad to the encoder's grid (a no-op at full scale, where the
         # fbank target IS (1024, 128); tiny test configs use smaller grids)
         t, f = cfg.audiomae.img_size
@@ -67,8 +76,8 @@ def make_validation_fn(
         if fbank.shape[1] < t or fbank.shape[2] < f:
             fbank = np.pad(np.asarray(fbank),
                            ((0, 0), (0, t - fbank.shape[1]), (0, f - fbank.shape[2])))
-        text_pos = make_text_batch(cfg, [caption], tokenizers)
-        text_neg = make_text_batch(cfg, [negative_prompt], tokenizers)
+        text_pos = make_text_batch(cfg, captions, tokenizers)
+        text_neg = make_text_batch(cfg, [negative_prompt] * n, tokenizers)
 
         pipe.params = dict(frozen, unet=cast_params_to(unet_params, cfg.dtype))
         out = pipe.generate(
@@ -82,10 +91,14 @@ def make_validation_fn(
         )
         sr = cfg.vocoder.sampling_rate
         path = os.path.join(val_dir, f"step{step}_pool{pool}.wav")
-        save_wav(path, out[0], sr)
-        save_wav(os.path.join(val_dir, f"step{step}_original.wav"), np.asarray(wav), sr)
+        for i in range(n):
+            suffix = "" if i == 0 else f"_{i}"
+            save_wav(os.path.join(val_dir, f"step{step}_pool{pool}{suffix}.wav"),
+                     out[i], sr)
+            save_wav(os.path.join(val_dir, f"step{step}_original{suffix}.wav"),
+                     np.asarray(picks[i][1]), sr)
         with open(os.path.join(val_dir, f"step{step}_caption.txt"), "w") as f:
-            f.write(f"{caption}\n(pool={pool})\n")
+            f.write("\n".join(captions) + f"\n(pool={pool})\n")
         return path
 
     return validation_fn

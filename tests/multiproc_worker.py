@@ -85,6 +85,33 @@ def main() -> None:
     assert all(np.isfinite(losses)), losses
     print(f"LOSSES {losses[0]:.6f} {losses[1]:.6f}", flush=True)
 
+    # --- scan-accumulation multi-host case (the train.sh recipe shape):
+    # stacked [K, B_local, ...] microbatches assemble across hosts on axis 1
+    # (P(None, 'data')); sharding axis 0 would scatter the K microbatches
+    # across processes and fail at trace (K*P rows vs K rngs)
+    from jax.sharding import PartitionSpec as P
+
+    from ap_adapter_tpu.train.trainer import make_accum_train_step
+
+    k = 2
+    tc_accum = TrainConfig(gradient_accumulation_steps=k, learning_rate=1e-3)
+    state2, _ = create_train_state(tc, params["unet"])  # plain AdamW state
+    state2 = jax.device_put(state2, mesh_lib.replicated(mesh))
+    accum_fn = make_accum_train_step(modules, tc_accum, frozen, mesh)
+
+    stacked_local = {kk: np.stack([v, v[::-1]]) for kk, v in local.items()}
+    accum_losses = []
+    for step in range(1, 3):
+        batch = shard_host_batch(mesh, stacked_local, P(None, "data"))
+        assert batch["mel"].shape[0] == k, batch["mel"].shape
+        assert batch["mel"].shape[1] == 8, batch["mel"].shape  # global batch
+        state2, metrics = accum_fn(
+            state2, batch, jax.random.fold_in(jax.random.PRNGKey(1), step))
+        accum_losses.append(float(jax.device_get(metrics["loss"])))
+
+    assert all(np.isfinite(accum_losses)), accum_losses
+    print(f"ACCUM_LOSSES {accum_losses[0]:.6f} {accum_losses[1]:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

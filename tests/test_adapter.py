@@ -1,5 +1,6 @@
 """Adapter parameter IO tests: site map, flat-dict round trip, masks."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -15,6 +16,8 @@ from ap_adapter_tpu.adapter.params import (
 )
 from tests.test_unet import TINY, tiny_unet  # noqa: F401  (fixture reuse)
 
+
+pytestmark = pytest.mark.quick
 
 def test_adapter_sites_match_reference_layout():
     """The real config must produce exactly the 32 shipped checkpoint sites."""

@@ -19,6 +19,8 @@ from ap_adapter_tpu.models.projection import ProjectionModel
 from ap_adapter_tpu.convert import torch_import as ti
 
 
+pytestmark = pytest.mark.quick
+
 def _np_sd(model):
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 

@@ -1,5 +1,6 @@
 """DDIM scheduler tests vs an independent numpy reference implementation."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -16,6 +17,8 @@ from ap_adapter_tpu.diffusion.sampling import ddim_sample_loop
 
 CFG = SchedulerConfig()
 
+
+pytestmark = pytest.mark.quick
 
 def np_alphas(cfg=CFG):
     betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5, cfg.num_train_timesteps) ** 2

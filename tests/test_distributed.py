@@ -40,12 +40,13 @@ def test_two_process_train_step():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
 
-    losses = []
-    for out in outs:
-        line = [l for l in out.splitlines() if l.startswith("LOSSES")]
-        assert line, out[-2000:]
-        losses.append([float(v) for v in line[0].split()[1:]])
-    # the global all-reduced loss must be identical on both hosts
-    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
-    # and the step actually trained (finite, changing)
-    assert losses[0][0] != losses[0][1]
+    for tag in ("LOSSES", "ACCUM_LOSSES"):
+        losses = []
+        for out in outs:
+            line = [l for l in out.splitlines() if l.startswith(tag + " ")]
+            assert line, out[-2000:]
+            losses.append([float(v) for v in line[0].split()[1:]])
+        # the global all-reduced loss must be identical on both hosts
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+        # and the step actually trained (finite, changing)
+        assert losses[0][0] != losses[0][1]

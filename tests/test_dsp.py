@@ -21,6 +21,8 @@ from ap_adapter_tpu.configs import FbankConfig, MelConfig
 # ---------------------------------------------------------------------------
 
 
+pytestmark = pytest.mark.quick
+
 def ref_kaldi_fbank(wave: np.ndarray, sr: int = 16000, num_bins: int = 128) -> np.ndarray:
     frame_len = int(sr * 0.025)
     hop = int(sr * 0.010)

@@ -199,3 +199,56 @@ def test_batched_eval_runner(tmp_path, rng):
     res2 = run_batched_eval(pipe, clips, task, batch_size=2,
                             compute_fad=True, scorer=scorer)
     assert "fad_clap" in res2 and np.isfinite(res2["fad_clap"])
+
+
+def test_eval_protocol_per_domain(tmp_path, rng):
+    """run_eval_protocol: per-domain generated-vs-reference-set FAD plus the
+    secondary faithfulness number (VERDICT r2 item 5; paper protocol,
+    reference README.md:5-10)."""
+
+    import dataclasses
+    from scipy.io import wavfile
+
+    from ap_adapter_tpu.configs import get_task_config
+    from ap_adapter_tpu.eval.runner import run_eval_protocol
+    from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline
+
+    base = tiny_pipeline_config()
+    cfg = dataclasses.replace(
+        base, fbank=dataclasses.replace(base.fbank, target_frames=64, num_mel_bins=32)
+    )
+    pipe = AudioLDM2Pipeline.from_random(cfg, seed=0)
+
+    dirs = {}
+    for domain, n in (("in_domain", 2), ("out_of_domain", 2)):
+        d = tmp_path / domain
+        d.mkdir()
+        for i in range(n):
+            wavfile.write(str(d / f"{domain}{i}.wav"), 16000,
+                          (rng.standard_normal(8000) * 8000).astype(np.int16))
+        dirs[domain] = [str(d)]
+
+    task = get_task_config(
+        "timbre_transfer", num_inference_steps=2, audio_length_in_s=0.2,
+        time_pooling=2, freq_pooling=2,
+        positive_text_prompts=("piano",), negative_text_prompts=("noise",),
+    )
+    # out-of-domain sources are judged against the IN-domain reference set
+    domains = {
+        "in_domain": {"source": dirs["in_domain"], "reference": dirs["in_domain"]},
+        "out_of_domain": {"source": dirs["out_of_domain"],
+                          "reference": dirs["in_domain"]},
+    }
+    res = run_eval_protocol(pipe, domains, task, batch_size=2,
+                            output_dir=str(tmp_path / "out"))
+    for key in ("fad_in_domain", "fad_out_of_domain",
+                "fad_faithfulness_in_domain", "fad_faithfulness_out_of_domain"):
+        assert key in res and np.isfinite(res[key]), (key, res)
+    assert res["n_total"] == 4
+    assert res["embedding_space"] == "audiomae"
+    # in-domain: reference set == source set, so the two numbers coincide
+    np.testing.assert_allclose(res["fad_in_domain"],
+                               res["fad_faithfulness_in_domain"])
+    # out-of-domain: judged against a different reference set -> different
+    assert (res["fad_out_of_domain"] != res["fad_faithfulness_out_of_domain"])
+    assert os.path.isdir(str(tmp_path / "out" / "in_domain"))

@@ -36,6 +36,8 @@ from ap_adapter_tpu.ops.attention import sdpa, strip_adapter_tokens  # noqa: E40
 REF_PATH = "/root/reference/APadapter/ap_adapter/attention_processor.py"
 
 
+pytestmark = pytest.mark.quick
+
 def _load_reference_module():
     spec = importlib.util.spec_from_file_location("ref_attention_processor", REF_PATH)
     mod = importlib.util.module_from_spec(spec)

@@ -12,6 +12,8 @@ from ap_adapter_tpu.configs import get_task_config
 REF = "/root/reference/config.py"
 
 
+pytestmark = pytest.mark.quick
+
 def _ref_get_config():
     spec = importlib.util.spec_from_file_location("ref_config", REF)
     mod = importlib.util.module_from_spec(spec)

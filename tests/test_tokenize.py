@@ -18,6 +18,8 @@ from ap_adapter_tpu.pipeline.tokenize import (
 )
 
 
+pytestmark = pytest.mark.quick
+
 def _write_fast_tokenizer(d, vocab):
     from tokenizers import Tokenizer, models, pre_tokenizers, processors
 
