@@ -52,6 +52,10 @@ def main() -> int:
 
     wav_path = os.path.join(args.reference, args.wav)
     waveform, sr = torchaudio.load(wav_path)
+    # the 16 kHz input waveform too, so the JAX side can run its OWN fbank
+    # front-end against fbank.npy (tests/test_golden_pipeline.py part b)
+    wav16 = torchaudio.functional.resample(waveform, sr, 16000) if sr != 16000 else waveform
+    np.save(os.path.join(args.out, "waveform_16k.npy"), wav16[0].numpy())
     fbank = extract_kaldi_fbank_feature(waveform, sr, torch.zeros(1024, 128))
     np.save(os.path.join(args.out, "fbank.npy"), fbank.numpy())
 
@@ -92,7 +96,10 @@ def main() -> int:
 
     with torch.no_grad():
         mel = pipe.vae.decode(latent / pipe.vae.config.scaling_factor).sample
-        wav = pipe.vocoder(mel[:, 0].transpose(1, 2))
+        # vocoder takes [B, T, model_in_dim]; mel is [B, 1, T, 64]
+        # (reference mel_spectrogram_to_waveform squeezes dim 1,
+        # pipeline_audioldm2.py:583-590)
+        wav = pipe.vocoder(mel[:, 0])
     np.save(os.path.join(args.out, "vae_mel.npy"), mel.numpy())
     np.save(os.path.join(args.out, "vocoder_wav.npy"), wav.numpy())
     print(f"golden fixtures written to {args.out}")

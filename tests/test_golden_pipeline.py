@@ -1,0 +1,236 @@
+"""Stage-by-stage parity against COMMITTED golden fixtures (no torch needed).
+
+Part (a): tests/golden/*.npz — small-config oracle outputs captured from HF
+``transformers`` models and from the reference's own attention processors by
+``scripts/make_golden_fixtures.py``. These re-check the conversion + model
+parity chain in any environment, torch or not (VERDICT r2 item 3).
+
+Part (b): when ``AP_GOLDEN_DIR`` (scripts/capture_reference.py dumps from a
+full PyTorch-reference environment) and ``AP_CHECKPOINT_DIR`` (converted
+real weights, convert/cli.py) are set, the composed pipeline is checked
+stage by stage against the reference's real-checkpoint activations —
+fbank -> AudioMAE -> UNet step -> DDIM step -> VAE decode -> vocoder
+(reference inference.py:68-81 end-to-end claim).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ap_adapter_tpu import configs
+
+pytestmark = pytest.mark.quick
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def _listify(v):
+    return tuple(_listify(x) for x in v) if isinstance(v, list) else v
+
+
+def _load(name):
+    path = os.path.join(GOLDEN, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name}.npz not generated "
+                    "(scripts/make_golden_fixtures.py)")
+    from flax import traverse_util
+
+    z = np.load(path, allow_pickle=False)
+    flat = {tuple(k.split("/")[1:]): z[k] for k in z.files if k.startswith("param/")}
+    params = traverse_util.unflatten_dict(flat)
+    data = {k: z[k] for k in z.files if not k.startswith("param/")}
+    for key in ("config_json", "meta_json"):
+        if key in data:
+            data[key[:-5]] = {k: _listify(v)
+                              for k, v in json.loads(str(data.pop(key))).items()}
+    return params, data
+
+
+def test_golden_clap_text():
+    params, d = _load("clap_text")
+    from ap_adapter_tpu.models.clap import ClapTextEncoder
+
+    got = ClapTextEncoder(configs.ClapTextConfig(**d["config"])).apply(
+        {"params": params}, jnp.asarray(d["ids"]), jnp.asarray(d["mask"]))
+    np.testing.assert_allclose(np.asarray(got), d["want"], rtol=1e-4, atol=1e-5)
+
+
+def test_golden_t5():
+    params, d = _load("t5")
+    from ap_adapter_tpu.models.t5 import T5Encoder
+
+    got = T5Encoder(configs.T5Config(**d["config"])).apply(
+        {"params": params}, jnp.asarray(d["ids"]), jnp.asarray(d["mask"]))
+    np.testing.assert_allclose(np.asarray(got), d["want"], rtol=1e-4, atol=1e-5)
+
+
+def test_golden_gpt2_forward_and_generate():
+    params, d = _load("gpt2")
+    from ap_adapter_tpu.models.gpt2 import GPT2Model, generate_hidden_states
+
+    model = GPT2Model(configs.GPT2Config(**d["config"]))
+    got, _ = model.apply({"params": params}, jnp.asarray(d["embeds"]),
+                         attention_mask=jnp.asarray(d["mask"]))
+    np.testing.assert_allclose(np.asarray(got), d["want_fwd"], rtol=1e-4, atol=1e-5)
+
+    gen = generate_hidden_states(
+        model, params, jnp.asarray(d["embeds"]), jnp.asarray(d["gen_mask"]),
+        max_new_tokens=int(d["gen_steps"]))
+    np.testing.assert_allclose(np.asarray(gen), d["want_gen"], rtol=1e-4, atol=1e-5)
+
+
+def test_golden_vocoder():
+    params, d = _load("vocoder")
+    from ap_adapter_tpu.models.vocoder import HiFiGAN
+
+    got = HiFiGAN(configs.VocoderConfig(**d["config"])).apply(
+        {"params": params}, jnp.asarray(d["mel"]))
+    np.testing.assert_allclose(np.asarray(got), d["want"], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["adapter_ip", "adapter_plain_masked", "adapter_cn"])
+def test_golden_adapter_fixture(name):
+    params, d = _load(name)
+    from ap_adapter_tpu.models.unet_blocks import CrossAttention
+    from ap_adapter_tpu.ops.attention import strip_adapter_tokens
+
+    m = d["meta"]
+    module = CrossAttention(
+        heads=m["heads"], dim_head=m["dim_head"], out_dim=m["query_dim"],
+        use_adapter=bool(m.get("use_adapter")),
+        num_ip_tokens=int(m.get("num_tokens", 8)),
+    )
+    x, ctx = jnp.asarray(d["x"]), jnp.asarray(d["ctx"])
+    if m["case"] == "ip":
+        out = module.apply({"params": params}, x, ctx, ip_scale=m["scale"])
+    elif m["case"] == "plain_masked":
+        mask_bias = jnp.asarray(d["bias"])[:, None, :, :]
+        out = module.apply({"params": params}, x, ctx, mask_bias=mask_bias)
+    else:  # cn: drop last num_tokens, attend text-only
+        out = module.apply({"params": params}, x,
+                           strip_adapter_tokens(ctx, int(m["num_tokens"])))
+    np.testing.assert_allclose(np.asarray(out), d["want"], atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Part (b): real-checkpoint stage dumps (scripts/capture_reference.py)
+# ---------------------------------------------------------------------------
+
+CAPTURE = os.environ.get("AP_GOLDEN_DIR", "")
+CKPT = os.environ.get("AP_CHECKPOINT_DIR", "")
+needs_capture = pytest.mark.skipif(
+    not (CAPTURE and os.path.isdir(CAPTURE)),
+    reason="AP_GOLDEN_DIR (capture_reference.py dumps) not set")
+needs_ckpt = pytest.mark.skipif(
+    not (CKPT and os.path.isdir(CKPT)),
+    reason="AP_CHECKPOINT_DIR (converted real checkpoint) not set")
+
+
+def _cap(name):
+    path = os.path.join(CAPTURE, name)
+    if not os.path.exists(path):
+        pytest.skip(f"capture {name} missing")
+    return np.load(path)
+
+
+@pytest.fixture(scope="module")
+def real_pipe():
+    from ap_adapter_tpu.pipeline.tasks import load_pipeline
+
+    return load_pipeline(configs.PipelineConfig(), checkpoint_dir=CKPT)
+
+
+@needs_capture
+def test_capture_fbank():
+    """waveform -> kaldi fbank (reference AudioMAE.py:356-394)."""
+
+    from ap_adapter_tpu.audio.fbank import audiomae_fbank
+
+    wav = _cap("waveform_16k.npy")
+    want = _cap("fbank.npy")
+    got = np.asarray(audiomae_fbank(wav.reshape(1, -1),
+                                    configs.PipelineConfig().fbank))[0]
+    np.testing.assert_allclose(got, want.reshape(got.shape), rtol=1e-3, atol=2e-3)
+
+
+@needs_capture
+@needs_ckpt
+@pytest.mark.parametrize("tp,fp", [(1, 1), (2, 2), (4, 4)])
+def test_capture_audiomae_tokens(real_pipe, tp, fp):
+    fbank = _cap("fbank.npy").reshape(1, 1024, 128)
+    want = _cap(f"audiomae_tokens_{tp}x{fp}.npy")
+    got = real_pipe.modules.encode_audio(
+        real_pipe.params, jnp.asarray(fbank), tp, fp, with_uncond=False)
+    np.testing.assert_allclose(np.asarray(got)[0], want.reshape(np.asarray(got)[0].shape),
+                               rtol=5e-3, atol=5e-3)
+
+
+@needs_capture
+@needs_ckpt
+def test_capture_unet_step(real_pipe):
+    """One UNet forward at t=500 on the captured latent (NCHW -> NHWC)."""
+
+    latent = _cap("latent_in.npy")  # [1, 8, 250, 16] torch layout
+    gpt2 = _cap("gpt2_tokens.npy")
+    t5 = _cap("t5_embeds.npy")
+    mask = _cap("t5_mask.npy")
+    want = _cap("unet_eps_t500.npy")
+    cfg = real_pipe.config
+    x = jnp.asarray(latent.transpose(0, 2, 3, 1))
+    eps = real_pipe.modules.unet.apply(
+        {"params": real_pipe.params["unet"]}, x, jnp.asarray([500.0]),
+        jnp.asarray(gpt2, cfg.dtype), jnp.asarray(t5, cfg.dtype),
+        jnp.asarray(mask), ip_scale=0.0)
+    got = np.asarray(eps, np.float32).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+@needs_capture
+def test_capture_ddim_step():
+    from ap_adapter_tpu.diffusion.ddim import (
+        ddim_step, inference_timesteps, make_tables)
+
+    latent = _cap("latent_in.npy")
+    eps = _cap("unet_eps_t500.npy")
+    want = _cap("ddim_prev.npy")
+    sch = configs.PipelineConfig().scheduler
+    tables = make_tables(sch)
+    t0 = int(inference_timesteps(sch, 50)[0])
+    prev_t = t0 - sch.num_train_timesteps // 50
+    prev = ddim_step(tables, jnp.asarray(eps), jnp.asarray(t0),
+                     jnp.asarray(prev_t), jnp.asarray(latent))
+    np.testing.assert_allclose(np.asarray(prev), want, rtol=1e-3, atol=1e-3)
+
+
+@needs_capture
+@needs_ckpt
+def test_capture_vae_decode(real_pipe):
+    from ap_adapter_tpu.models.vae import AutoencoderKL
+
+    latent = _cap("latent_in.npy")
+    want = _cap("vae_mel.npy")
+    cfg = real_pipe.config
+    z = jnp.asarray(latent.transpose(0, 2, 3, 1), cfg.dtype) / cfg.vae.scaling_factor
+    mel = real_pipe.modules.vae.apply(
+        {"params": real_pipe.params["vae"]}, z, method=AutoencoderKL.decode)
+    got = np.asarray(mel, np.float32).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+@needs_capture
+@needs_ckpt
+def test_capture_vocoder(real_pipe):
+    mel = _cap("vae_mel.npy")  # [1, 1, T, 64] torch layout
+    want = _cap("vocoder_wav.npy")
+    got = real_pipe.modules.vocoder.apply(
+        {"params": real_pipe.params["vocoder"]},
+        jnp.asarray(mel[:, 0], real_pipe.config.dtype))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=5e-2, atol=5e-2)
