@@ -244,11 +244,22 @@ class UNetConfig:
     adapter_cross_attention_dim: int = 768  # only 768-dim sites get the adapter
     adapter_num_tokens: int = 8  # first 8 tokens = GPT-2, rest = AudioMAE
     use_pallas_attention: bool = False  # fused dual-KV kernel (TPU only)
+    # fused GroupNorm+SiLU Pallas kernel at the resnet norm sites — opt-in
+    # (measured parity-or-slower vs XLA's fused GN at UNet shapes,
+    # docs/PERF.md negative results)
+    use_pallas_groupnorm: bool = False
     # rematerialize each resnet/attention group in the backward pass —
     # shrinks the fwd+bwd graph and activation memory so the full-scale
     # train step compiles on TPU (the training CLI turns this on; pure
     # inference never differentiates, so it has no effect there)
     remat: bool = False
+    # unroll the per-Transformer2DModel nn.scan over its (2) blocks at trace
+    # time: params stay STACKED [L, ...] (checkpoint layout unchanged) but
+    # the loop disappears — the 64 length-2 scans cost ~7 ms/step of loop
+    # overhead on the denoise path (docs/PERF.md). Inference default is
+    # fully unrolled; the training CLI sets 1 (the scan's graph dedup is
+    # what keeps the full-scale fwd+bwd compile within service limits).
+    scan_unroll: int = 2
     # class embedding (AudioLDM v1: CLAP embedding as "simple_projection"
     # class label concatenated with the time embedding)
     class_embed_dim: Optional[int] = None

@@ -23,26 +23,55 @@ import jax.numpy as jnp
 from ap_adapter_tpu.ops.attention import _on_tpu, sdpa, self_attention
 
 
+class GroupNormParams(nn.Module):
+    """Raw GroupNorm scale/bias (same param tree as nn.GroupNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
 class ResnetBlock2D(nn.Module):
-    """GN -> silu -> conv -> (+temb) -> GN -> silu -> conv (+shortcut)."""
+    """GN -> silu -> conv -> (+temb) -> GN -> silu -> conv (+shortcut).
+
+    ``use_pallas_gn`` routes the GN+SiLU pairs to the fused Pallas kernel
+    (ops/pallas_groupnorm.py). Opt-in: measured at parity-or-slower vs XLA's
+    fused GroupNorm at UNet shapes (docs/PERF.md negative results), kept for
+    shapes/backends where the one-pass VMEM read wins.
+    """
 
     out_channels: int
     groups: int = 32
     eps: float = 1e-5
     use_temb: bool = True
+    use_pallas_gn: bool = False
     dtype: Any = jnp.float32
+
+    def _gn_silu(self, h: jnp.ndarray, name: str) -> jnp.ndarray:
+        if self.use_pallas_gn and _on_tpu():
+            from ap_adapter_tpu.ops.pallas_groupnorm import group_norm_silu
+
+            scale, bias = GroupNormParams(h.shape[-1], name=name)()
+            b, hh, ww, c = h.shape
+            y = group_norm_silu(h.reshape(b, hh * ww, c), scale, bias,
+                                self.groups, self.eps, act=True)
+            return y.reshape(b, hh, ww, c).astype(self.dtype)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name=name)(h)
+        return nn.silu(h)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = self._gn_silu(x, "norm1")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = self._gn_silu(h, "norm2")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -235,6 +264,8 @@ class CrossAttention(nn.Module):
                 jnp.asarray(wq, self.dtype), jnp.asarray(wk, self.dtype),
                 jnp.asarray(wv, self.dtype), jnp.asarray(wo, self.dtype),
                 jnp.asarray(bo, self.dtype), self.heads, 1e-5,
+                # query tile sized so the fp32 logits block fits VMEM
+                _fused_block_tile_q(n, inner, self.heads),
             )
 
         fused_cross_ok = (
@@ -243,8 +274,13 @@ class CrossAttention(nn.Module):
             and self.heads % (128 // d) == 0
             and inner == c_in and self.out_dim == c_in
             # text-only conditioning leaves the audio branch EMPTY; the XLA
-            # path contracts over zero keys to exact zeros — keep it there
-            and (not self.use_adapter or context.shape[1] > self.num_ip_tokens)
+            # path contracts over zero keys to exact zeros — keep it there.
+            # num_ip_tokens must be 8-aligned: the kernel slices the padded
+            # context at [num_ip, num_ip + round_up(sk_ip, 8)), which can
+            # overrun the padded rows otherwise (default 8 is aligned).
+            and (not self.use_adapter
+                 or (context.shape[1] > self.num_ip_tokens
+                     and self.num_ip_tokens % 8 == 0))
             and _on_tpu()
         )
         if fused_cross_ok:
@@ -424,6 +460,7 @@ class Transformer2DModel(nn.Module):
     num_ip_tokens: int = 8
     use_pallas: bool = False
     groups: int = 32
+    scan_unroll: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -446,6 +483,10 @@ class Transformer2DModel(nn.Module):
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.num_layers,
+            # unroll at trace time (params stay stacked): removes the
+            # per-site loop overhead on the inference path; training keeps
+            # unroll=1 for the compile-size dedup (UNetConfig.scan_unroll)
+            unroll=min(self.scan_unroll, self.num_layers),
         )(
             inner, self.heads, self.dim_head,
             cross_attention_dim=self.cross_attention_dim,
@@ -473,6 +514,7 @@ class AttentionGroup(nn.Module):
     num_ip_tokens: int = 8
     use_pallas: bool = False
     groups: int = 32
+    scan_unroll: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -499,6 +541,7 @@ class AttentionGroup(nn.Module):
                 use_adapter=(dim is not None and dim == self.adapter_dim),
                 num_ip_tokens=self.num_ip_tokens,
                 use_pallas=self.use_pallas,
-                groups=self.groups, dtype=self.dtype, name=f"attentions_{idx}",
+                groups=self.groups, scan_unroll=self.scan_unroll,
+                dtype=self.dtype, name=f"attentions_{idx}",
             )(x, context, bias, ip_scale)
         return x

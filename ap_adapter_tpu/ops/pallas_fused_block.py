@@ -176,23 +176,23 @@ def _xla_reference(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps):
     return x + (attn @ wo + bo).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def fused_ln_self_attention_vjp(x, ln_scale, ln_bias, wq, wk, wv, wo, bo,
-                                heads: int, eps: float):
+                                heads: int, eps: float, tile_q: int = 256):
     """Pallas forward, XLA backward (adapter training differentiates through
     all UNet activations even though only adapter grads are kept)."""
 
     return fused_ln_self_attention(x, ln_scale, ln_bias, wq, wk, wv, wo, bo,
-                                   heads, eps=eps)
+                                   heads, eps=eps, tile_q=tile_q)
 
 
-def _fwd(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps):
+def _fwd(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps, tile_q):
     out = fused_ln_self_attention(x, ln_scale, ln_bias, wq, wk, wv, wo, bo,
-                                  heads, eps=eps)
+                                  heads, eps=eps, tile_q=tile_q)
     return out, (x, ln_scale, ln_bias, wq, wk, wv, wo, bo)
 
 
-def _bwd(heads, eps, res, grad):
+def _bwd(heads, eps, tile_q, res, grad):
     x, ln_scale, ln_bias, wq, wk, wv, wo, bo = res
     _, vjp = jax.vjp(
         lambda *a: _xla_reference(*a, heads, eps),

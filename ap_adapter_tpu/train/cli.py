@@ -74,8 +74,11 @@ def main(argv=None):
 
     config = PipelineConfig()
     # remat the UNet blocks: the fwd+bwd graph at full scale only compiles
-    # (and fits activation memory at effective batch 32) with checkpointing
-    config = config.replace(unet=dataclasses.replace(config.unet, remat=True))
+    # (and fits activation memory at effective batch 32) with checkpointing;
+    # scan_unroll=1 keeps the transformer-block scan's graph dedup (the
+    # fwd+bwd module is compile-size-bound, unlike inference)
+    config = config.replace(
+        unet=dataclasses.replace(config.unet, remat=True, scan_unroll=1))
     pipe = load_pipeline(config, checkpoint_dir=args.checkpoint_dir or None)
 
     if args.resume_from_checkpoint:

@@ -44,7 +44,9 @@ def main() -> None:
 
     config = PipelineConfig()
     remat = os.environ.get("AP_TRAIN_REMAT", "0") == "1"
-    config = config.replace(unet=dataclasses.replace(config.unet, remat=remat))
+    unroll = int(os.environ.get("AP_TRAIN_SCAN_UNROLL", "1"))
+    config = config.replace(
+        unet=dataclasses.replace(config.unet, remat=remat, scan_unroll=unroll))
     modules = PipelineModules(config)
     params = modules.init_params(seed=0)
 

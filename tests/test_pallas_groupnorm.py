@@ -47,3 +47,35 @@ def test_group_norm_silu_grads(rng):
         pg.fused_group_norm = orig
     g2 = jax.grad(lambda x: jnp.sum(pg._xla_reference(x, gamma, beta, groups, 1e-5, True) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_use_pallas_gn_routing(rng, monkeypatch):
+    """UNetConfig.use_pallas_groupnorm routes ResnetBlock2D's GN+SiLU pairs
+    to the fused kernel with an identical param tree and matching outputs
+    (interpret mode on CPU)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    import ap_adapter_tpu.models.unet_blocks as ub
+    import ap_adapter_tpu.ops.pallas_groupnorm as pg
+
+    monkeypatch.setattr(ub, "_on_tpu", lambda: True)
+    orig = pg.fused_group_norm
+    monkeypatch.setattr(pg, "fused_group_norm",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 4, 32)), jnp.float32)
+    temb = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    block_off = ub.ResnetBlock2D(32, groups=4, use_pallas_gn=False)
+    block_on = ub.ResnetBlock2D(32, groups=4, use_pallas_gn=True)
+    params = block_off.init(jax.random.PRNGKey(0), x, temb)["params"]
+    # same param tree: the kernel path must consume the converted checkpoint
+    p2 = block_on.init(jax.random.PRNGKey(0), x, temb)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+
+    import numpy as np
+    y_off = block_off.apply({"params": params}, x, temb)
+    y_on = block_on.apply({"params": params}, x, temb)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=2e-5, atol=2e-5)
