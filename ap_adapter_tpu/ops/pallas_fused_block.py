@@ -161,6 +161,167 @@ def fused_ln_self_attention(
     return out[:, :s]
 
 
+def _bwd_kernel(x_full_ref, g_full_ref, x_tile_ref, g_tile_ref, lns_ref,
+                lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref, dx_ref,
+                k_scr, v_scr, gxn_scr, dk_scr, dv_scr, *,
+                heads: int, s_valid: int, eps: float, sm_scale: float):
+    """dx of ``x + Wo·MHA(LN(x))`` — the data-path gradient only (parameter
+    grads stay in XLA and are DCE'd in adapter-only training).
+
+    Same head-packed staircase layout as the forward, run in reverse:
+    per query tile, softmax probs are recomputed from k/v scratch, then
+    dv = Pᵀ·gs and dk = dlogitsᵀ·qs land per-head via the zeroed-lane
+    blocks, accumulating across tiles in fp32 scratch; the epilogue (last
+    tile) folds dq/dk/dv through Wq/Wk/Wv and runs the LayerNorm backward
+    over the whole sequence, adding the residual cotangent."""
+
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    c = x_tile_ref.shape[-1]
+    d = c // heads
+    g = LANES // d
+    n_groups = c // LANES
+    tq = x_tile_ref.shape[1]
+
+    lns = lns_ref[0].astype(jnp.float32)
+    lnb = lnb_ref[0].astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        xf = _ln(x_full_ref[0], lns, lnb, eps).astype(x_full_ref.dtype)
+        k_scr[:, :] = jax.lax.dot_general(
+            xf, wk_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(k_scr.dtype)
+        v_scr[:, :] = jax.lax.dot_general(
+            xf, wv_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(v_scr.dtype)
+        gxn_scr[:, :] = jnp.zeros_like(gxn_scr)
+        dk_scr[:, :] = jnp.zeros_like(dk_scr)
+        dv_scr[:, :] = jnp.zeros_like(dv_scr)
+
+    xt = x_tile_ref[0]
+    gt = g_tile_ref[0]
+    xn = _ln(xt, lns, lnb, eps).astype(xt.dtype)
+    q = (jax.lax.dot_general(xn, wq_ref[:, :], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         * sm_scale).astype(xt.dtype)
+    # d(out)/d(attn): g @ Wo^T
+    gattn = jax.lax.dot_general(
+        gt, wo_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(xt.dtype)  # [tq, C]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, LANES), 1)
+    dq_groups = []
+    for g2 in range(n_groups):
+        sl = slice(g2 * LANES, (g2 + 1) * LANES)
+        qg, kg, vg = q[:, sl], k_scr[:, sl], v_scr[:, sl]
+        gg = gattn[:, sl]
+        qs = jnp.concatenate(
+            [jnp.where((lane >= i * d) & (lane < (i + 1) * d), qg, 0)
+             for i in range(g)], axis=0)     # [g*tq, 128]
+        gs = jnp.concatenate(
+            [jnp.where((lane >= i * d) & (lane < (i + 1) * d), gg, 0)
+             for i in range(g)], axis=0)
+        logits = jax.lax.dot_general(
+            qs, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < s_valid, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(xt.dtype)
+
+        # dv: P^T @ gs — head blocks land in their own lanes (gs zeros)
+        dv_scr[:, sl] += jax.lax.dot_general(
+            probs, gs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dP then dlogits (softmax backward, rowwise)
+        dp = jax.lax.dot_general(
+            gs, vg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        probs32 = probs.astype(jnp.float32)
+        rowdot = jnp.sum(dp * probs32, axis=-1, keepdims=True)
+        dlog = (probs32 * (dp - rowdot)).astype(xt.dtype)  # [g*tq, Sp]
+        # dk: dlog^T @ qs (staircase reverses itself)
+        dk_scr[:, sl] += jax.lax.dot_general(
+            dlog, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dq (scaled): dlog @ kg, un-staircased back to [tq, 128]
+        dq_full = jax.lax.dot_general(
+            dlog, kg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqg = jnp.zeros((tq, LANES), jnp.float32)
+        for i in range(g):
+            blk = jax.lax.slice_in_dim(dq_full, i * tq, (i + 1) * tq, axis=0)
+            dqg = dqg + jnp.where((lane >= i * d) & (lane < (i + 1) * d), blk, 0)
+        dq_groups.append((dqg * sm_scale).astype(xt.dtype))
+
+    dq = jnp.concatenate(dq_groups, axis=1)  # [tq, C] d/d(xn@Wq)
+    gxn_scr[pl.ds(j * tq, tq), :] += jax.lax.dot_general(
+        dq, wq_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        gxn = (gxn_scr[:, :]
+               + jax.lax.dot_general(
+                   dk_scr[:, :].astype(xt.dtype), wk_ref[:, :],
+                   (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(
+                   dv_scr[:, :].astype(xt.dtype), wv_ref[:, :],
+                   (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+        xf = x_full_ref[0].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        nhat = xc * rstd
+        gn = gxn * lns
+        m1 = jnp.mean(gn, axis=-1, keepdims=True)
+        m2 = jnp.mean(gn * nhat, axis=-1, keepdims=True)
+        dx = rstd * (gn - m1 - nhat * m2) + g_full_ref[0].astype(jnp.float32)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def fused_ln_self_attention_bwd_dx(
+    x: jnp.ndarray, grad: jnp.ndarray, ln_scale, ln_bias, wq, wk, wv, wo,
+    heads: int, eps: float = 1e-5, tile_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Input gradient of fused_ln_self_attention (one kernel)."""
+
+    b, s, c = x.shape
+    d = c // heads
+    assert c % LANES == 0 and LANES % d == 0 and heads % (LANES // d) == 0
+    sp = _round_up(s, tile_q)
+    xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    gp = jnp.pad(jnp.asarray(grad, x.dtype), ((0, 0), (0, sp - s), (0, 0)))
+    dt = x.dtype
+    cast = lambda a: jnp.asarray(a, dt)
+
+    full = pl.BlockSpec((1, sp, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    dx = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, s_valid=s, eps=eps,
+                          sm_scale=float(d) ** -0.5),
+        grid=(b, sp // tile_q),
+        in_specs=[full, full, tile, tile, vec, vec, mat, mat, mat, mat],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct((b, sp, c), grad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((sp, c), dt),          # k
+            pltpu.VMEM((sp, c), dt),          # v
+            pltpu.VMEM((sp, c), jnp.float32),  # gxn accumulator
+            pltpu.VMEM((sp, c), jnp.float32),  # dk accumulator
+            pltpu.VMEM((sp, c), jnp.float32),  # dv accumulator
+        ],
+        interpret=interpret,
+    )(xp, gp, xp, gp, cast(ln_scale).reshape(1, c), cast(ln_bias).reshape(1, c),
+      cast(wq), cast(wk), cast(wv), cast(wo))
+    return dx[:, :s]
+
+
 def _xla_reference(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps):
     """Same math in plain XLA (fallback path + custom-VJP backward)."""
 
@@ -193,11 +354,37 @@ def _fwd(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads, eps, tile_q):
 
 
 def _bwd(heads, eps, tile_q, res, grad):
+    """dx via the Pallas bwd kernel; parameter grads as XLA expressions
+    (dead-code-eliminated in adapter-only training — every weight here is
+    frozen, so the one fused dx kernel is all that runs)."""
+
     x, ln_scale, ln_bias, wq, wk, wv, wo, bo = res
     _, vjp = jax.vjp(
         lambda *a: _xla_reference(*a, heads, eps),
         x, ln_scale, ln_bias, wq, wk, wv, wo, bo)
-    return vjp(grad)
+    dx_xla, dls, dlb, dwq, dwk, dwv, dwo, dbo = vjp(grad)
+    from ap_adapter_tpu.ops.attention import _on_tpu
+
+    if _on_tpu():
+        dx = fused_ln_self_attention_bwd_dx(
+            x, grad, ln_scale, ln_bias, wq, wk, wv, wo, heads, eps=eps,
+            tile_q=_bwd_tile_q(x.shape[1], x.shape[2], heads))
+    else:
+        dx = dx_xla
+    return dx, dls, dlb, dwq, dwk, dwv, dwo, dbo
+
+
+def _bwd_tile_q(s: int, c: int, heads: int) -> int:
+    """Bwd query tile: logits + probs + dP fp32 blocks within ~8 MB (the
+    fixed scratch — k/v + 3 fp32 accumulators — takes ~5.5 MB at S=1024,
+    C=256)."""
+
+    g = LANES // (c // heads)
+    sp = _round_up(s, 64)
+    for tq in (128, 64):
+        if 3 * g * tq * sp * 4 <= 8 * 1024 * 1024:
+            return tq
+    return 64
 
 
 fused_ln_self_attention_vjp.defvjp(_fwd, _bwd)

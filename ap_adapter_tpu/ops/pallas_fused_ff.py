@@ -119,6 +119,104 @@ def ff_tile_q(s: int, c: int, inner: int) -> int:
     return 0  # does not fit — use the XLA path
 
 
+def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                dx_ref, *, inner: int, eps: float):
+    """dx of ``out = x + W2·geglu(LN(x)W1 + b1)`` for one [tq, C] tile.
+
+    Recomputes the forward intermediates in VMEM (cheaper than saving the
+    [*, 2*4C] activations to HBM) and runs the LN/GEGLU chain backward.
+    Parameter gradients are NOT computed here — the XLA expressions in
+    ``_bwd`` cover them and are dead-code-eliminated in adapter-only
+    training, where every FF weight is frozen."""
+
+    xt = x_ref[0]                      # [tq, C] input dtype
+    gt32 = g_ref[0].astype(jnp.float32)
+    xf = xt.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    nhat = xc * rstd
+    scale = lns_ref[0].astype(jnp.float32)
+    xn = (nhat * scale + lnb_ref[0].astype(jnp.float32)).astype(xt.dtype)
+
+    h = jax.lax.dot_general(
+        xn, w1_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)  # [tq, 2F]
+    a = jax.lax.slice_in_dim(h, 0, inner, axis=1)
+    gate = jax.lax.slice_in_dim(h, inner, 2 * inner, axis=1)
+    phi = 0.5 * (1.0 + _erf(gate * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * gate * gate) * 0.3989422804014327  # N(0,1) density
+
+    # gh = g @ W2^T  (contract C with W2's output dim)
+    gh = jax.lax.dot_general(
+        g_ref[0], w2_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tq, F]
+    ga = gh * (gate * phi)             # d/d a
+    ggate = gh * a * (phi + gate * pdf)  # d/d gate (exact-gelu derivative)
+    gy1 = jnp.concatenate([ga, ggate], axis=1).astype(xt.dtype)
+    gxn = jax.lax.dot_general(         # gy1 @ W1^T
+        gy1, w1_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tq, C]
+
+    gn = gxn * scale
+    m1 = jnp.mean(gn, axis=-1, keepdims=True)
+    m2 = jnp.mean(gn * nhat, axis=-1, keepdims=True)
+    dx = rstd * (gn - m1 - nhat * m2) + gt32  # + residual path
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def fused_ln_geglu_ff_bwd_dx(
+    x: jnp.ndarray, grad: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2,
+    eps: float = 1e-5, tile_q: int = 128, interpret: bool = False,
+) -> jnp.ndarray:
+    """Input gradient of fused_ln_geglu_ff (one kernel, recompute-in-VMEM)."""
+
+    b, s, c = x.shape
+    inner = w2.shape[0]
+    tile_q = min(tile_q, _round_up(s, 64))
+    sp = _round_up(s, tile_q)
+    if sp != s:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+        grad = jnp.pad(grad, ((0, 0), (0, sp - s), (0, 0)))
+    dt = x.dtype
+    cast = lambda a: jnp.asarray(a, dt)
+
+    dx = pl.pallas_call(
+        functools.partial(_bwd_kernel, inner=inner, eps=eps),
+        grid=(b, sp // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * inner), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * inner), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inner, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sp, c), grad.dtype),
+        interpret=interpret,
+    )(x, cast(grad), cast(ln_scale).reshape(1, c), cast(ln_bias).reshape(1, c),
+      cast(w1), cast(b1).reshape(1, 2 * inner), cast(w2))
+    return dx[:, :s]
+
+
+def ff_bwd_tile_q(s: int, c: int, inner: int) -> int:
+    """Largest bwd tile within ~12 MB VMEM (more fp32 live activations than
+    the forward: h, gh, gy1 tiles)."""
+
+    w_bytes = (c * 2 * inner + inner * c) * 2
+    for tq in (256, 128, 64):
+        act = tq * (2 * inner * 4 * 2 + inner * 4 + 6 * c * 4)
+        if w_bytes + act <= 12 * 1024 * 1024:
+            return tq
+    return 0
+
+
 def _xla_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -142,8 +240,25 @@ def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
 
 
 def _bwd(eps, res, grad):
+    """dx from the Pallas bwd kernel; parameter grads as plain-XLA
+    expressions. In adapter-only training every FF parameter is frozen, so
+    XLA dead-code-eliminates the whole parameter-grad subgraph and only the
+    one fused dx kernel runs — that asymmetry is the point of splitting."""
+
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(lambda *a: _xla_reference(*a, eps), *res)
-    return vjp(grad)
+    dx_xla, dls, dlb, dw1, db1, dw2, db2 = vjp(grad)
+    b, s, c = x.shape
+    inner = w2.shape[0]
+    tq = ff_bwd_tile_q(s, c, inner)
+    from ap_adapter_tpu.ops.attention import _on_tpu
+
+    if tq > 0 and _on_tpu():
+        dx = fused_ln_geglu_ff_bwd_dx(
+            x, grad, ln_scale, ln_bias, w1, b1, w2, eps=eps, tile_q=tq)
+    else:
+        dx = dx_xla
+    return dx, dls, dlb, dw1, db1, dw2, db2
 
 
 fused_ln_geglu_ff_vjp.defvjp(_fwd, _bwd)

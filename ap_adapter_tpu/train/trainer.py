@@ -230,9 +230,11 @@ def make_train_step(
     return train_step
 
 
-def make_sharded_train_step(modules, tc, frozen_params, mesh):
-    """jit the train step with GSPMD shardings: batch over 'data', params
-    replicated. Donates state to keep optimizer memory in place."""
+def make_sharded_step_impl(modules, tc, mesh):
+    """The raw jitted GSPMD train step ``step_impl(state, frozen, batch,
+    rng)``: batch over 'data', params replicated, state donated. Exposed so
+    compile-only checks can ``.lower()`` it with abstract shapes
+    (__graft_entry__.dryrun_multichip full-config check)."""
 
     tx = make_optimizer(tc)
     loss_fn = _make_loss_fn(modules, tc)
@@ -250,6 +252,14 @@ def make_sharded_train_step(modules, tc, frozen_params, mesh):
             {"loss": loss, "grad_norm": optax.global_norm(grads)},
         )
 
+    return step_impl
+
+
+def make_sharded_train_step(modules, tc, frozen_params, mesh):
+    """jit the train step with GSPMD shardings: batch over 'data', params
+    replicated. Donates state to keep optimizer memory in place."""
+
+    step_impl = make_sharded_step_impl(modules, tc, mesh)
     # frozen params travel as a jit ARGUMENT (device-resident), never a
     # closure — closed-over trees become HLO constants and a module carrying
     # 740M literal weights breaks the remote-compile transport

@@ -65,3 +65,65 @@ def test_fused_block_grads(rng):
     g2 = jax.grad(lambda x: jnp.sum(
         pfb._xla_reference(x, ln_s, ln_b, *ws, bo, heads, 1e-5) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_bwd_dx_kernel_matches_autodiff(rng):
+    """Pallas backward dx kernel (reverse staircase, accumulated dk/dv,
+    LN-backward epilogue) vs jax.grad through the unfused reference."""
+
+    import jax
+
+    b, s, c, heads = 2, 100, 256, 8
+    x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    ln_s = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    ln_b = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    mk = lambda: jnp.asarray(
+        (rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+    wq, wk, wv, wo = mk(), mk(), mk(), mk()
+    bo = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    ct = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+
+    want = jax.grad(lambda x: jnp.sum(
+        pfb._xla_reference(x, ln_s, ln_b, wq, wk, wv, wo, bo, 8, 1e-5) * ct))(x)
+    got = pfb.fused_ln_self_attention_bwd_dx(
+        x, ct, ln_s, ln_b, wq, wk, wv, wo, heads, eps=1e-5, tile_q=64,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_vjp_routes_bwd_kernel_on_tpu(rng, monkeypatch):
+    """With _on_tpu patched + interpret kernels, the custom VJP's dx comes
+    from the Pallas bwd kernel and weight grads stay correct."""
+
+    import jax
+
+    from ap_adapter_tpu.ops import attention as attn_mod
+
+    b, s, c, heads = 1, 64, 128, 4  # d=32, g=4, one lane group
+    x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    ln_s, ln_b = jnp.ones(c), jnp.zeros(c)
+    mk = lambda: jnp.asarray(
+        (rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+    wq, wk, wv, wo = mk(), mk(), mk(), mk()
+    bo = jnp.zeros(c)
+
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+    orig_fwd = pfb.fused_ln_self_attention
+    orig_bwd = pfb.fused_ln_self_attention_bwd_dx
+    monkeypatch.setattr(pfb, "fused_ln_self_attention",
+                        lambda *a, **k: orig_fwd(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(pfb, "fused_ln_self_attention_bwd_dx",
+                        lambda *a, **k: orig_bwd(*a, **{**k, "interpret": True}))
+
+    def loss(x, wq):
+        return jnp.sum(pfb.fused_ln_self_attention_vjp(
+            x, ln_s, ln_b, wq, wk, wv, wo, bo, heads, 1e-5, 64) ** 2)
+
+    gx, gwq = jax.grad(loss, argnums=(0, 1))(x, wq)
+    gx_ref, gwq_ref = jax.grad(
+        lambda x, wq: jnp.sum(pfb._xla_reference(
+            x, ln_s, ln_b, wq, wk, wv, wo, bo, heads, 1e-5) ** 2),
+        argnums=(0, 1))(x, wq)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gwq), np.asarray(gwq_ref), rtol=2e-4, atol=2e-4)
