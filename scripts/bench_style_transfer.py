@@ -13,7 +13,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = 8
+BATCH = int(os.environ.get("AP_BENCH_BATCH", "8"))
 
 
 def main() -> None:

@@ -15,7 +15,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH, STEPS = 8, 50
+import os as _os
+BATCH, STEPS = int(_os.environ.get("AP_BENCH_BATCH", "8")), 50
 
 
 def main() -> None:
