@@ -50,6 +50,11 @@ def main() -> None:
     from ap_adapter_tpu.pipeline.tokenize import make_text_batch
 
     config = PipelineConfig()
+    if _os.environ.get("AP_USE_PALLAS_GN") == "1":  # A/B the fused GN kernel
+        import dataclasses
+
+        config = config.replace(
+            unet=dataclasses.replace(config.unet, use_pallas_groupnorm=True))
     pipe = AudioLDM2Pipeline.from_random(config, seed=0)
 
     prompts = ["Trumpet, playing trumpet solo"] * BATCH
