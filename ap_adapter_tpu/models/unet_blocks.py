@@ -51,11 +51,15 @@ class ResnetBlock2D(nn.Module):
     dtype: Any = jnp.float32
 
     def _gn_silu(self, h: jnp.ndarray, name: str) -> jnp.ndarray:
-        if self.use_pallas_gn and _on_tpu():
+        b, hh, ww, c = h.shape
+        # whole-[HW, C]-slab kernel: ~4 fp32-sized live copies must fit VMEM
+        # (the level-0 slabs at [4000, 128..384] do not — measured scoped-
+        # vmem OOM at 23.4M/16M); oversized slabs fall back to flax GN
+        fits = hh * ww * c * 16 <= 6 * 1024 * 1024
+        if self.use_pallas_gn and fits and _on_tpu():
             from ap_adapter_tpu.ops.pallas_groupnorm import group_norm_silu
 
-            scale, bias = GroupNormParams(h.shape[-1], name=name)()
-            b, hh, ww, c = h.shape
+            scale, bias = GroupNormParams(c, name=name)()
             y = group_norm_silu(h.reshape(b, hh * ww, c), scale, bias,
                                 self.groups, self.eps, act=True)
             return y.reshape(b, hh, ww, c).astype(self.dtype)

@@ -26,6 +26,7 @@ Layout facts the kernel exploits:
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +110,82 @@ def _kernel(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     o_ref[0] = (xt.astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
+def _kernel_t(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
+              wv_ref, wo_ref, bo_ref, o_ref, ks_scr, vt_scr, *,
+              heads: int, s_valid: int, eps: float, sm_scale: float):
+    """Transposed-logits variant: the PV product runs as v_hᵀ·p_hᵀ with every
+    output lane useful (the straight form wastes (g-1)/g of the S² PV MXU
+    work), and NO per-tile operand transposes — the K staircase and vᵀ are
+    built once per batch row in scratch, logits come out pre-transposed
+    ([g·Sp, tq]), softmax reduces over sublanes, and only the final
+    [C, tq] output block is transposed back."""
+
+    j = pl.program_id(1)
+    c = x_tile_ref.shape[-1]
+    d = c // heads
+    g = LANES // d
+    n_groups = c // LANES
+    tq = x_tile_ref.shape[1]
+    sp = ks_scr.shape[0] // g
+
+    lns = lns_ref[0].astype(jnp.float32)
+    lnb = lnb_ref[0].astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        xf = _ln(x_full_ref[0], lns, lnb, eps).astype(x_full_ref.dtype)
+        k = jax.lax.dot_general(
+            xf, wk_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(ks_scr.dtype)
+        v = jax.lax.dot_general(
+            xf, wv_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(vt_scr.dtype)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (sp, LANES), 1)
+        for g2 in range(n_groups):
+            sl = slice(g2 * LANES, (g2 + 1) * LANES)
+            kg = k[:, sl]
+            ks_scr[:, sl] = jnp.concatenate(
+                [jnp.where((lane_k >= i * d) & (lane_k < (i + 1) * d), kg, 0)
+                 for i in range(g)], axis=0)  # [g*Sp, 128] K staircase
+        vt_scr[:, :] = v.transpose((1, 0))    # [C, Sp], once per batch row
+
+    xt = x_tile_ref[0]
+    xn = _ln(xt, lns, lnb, eps).astype(xt.dtype)
+    q = (jax.lax.dot_general(xn, wq_ref[:, :], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         * sm_scale).astype(xt.dtype)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (sp, tq), 0)
+    out_blocks = []
+    for g2 in range(n_groups):
+        sl = slice(g2 * LANES, (g2 + 1) * LANES)
+        qg = q[:, sl]
+        # logits pre-transposed: [g*Sp, tq] (zero staircase lanes fill the
+        # 128-lane contraction exactly — no MXU waste, same as the straight
+        # QK form)
+        lt = jax.lax.dot_general(
+            ks_scr[:, sl], qg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for i in range(g):
+            lt_i = jax.lax.slice_in_dim(lt, i * sp, (i + 1) * sp, axis=0)
+            lt_i = jnp.where(row < s_valid, lt_i, NEG_INF)
+            m = jnp.max(lt_i, axis=0, keepdims=True)       # over keys (rows)
+            p = jnp.exp(lt_i - m)
+            pn = (p / jnp.sum(p, axis=0, keepdims=True)).astype(xt.dtype)
+            # o_hᵀ = v_hᵀ [d, Sp] · pᵀ [Sp, tq] — full-lane output
+            out_blocks.append(jax.lax.dot_general(
+                vt_scr[g2 * LANES + i * d:g2 * LANES + (i + 1) * d, :], pn,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+
+    attn_t = jnp.concatenate(out_blocks, axis=0).astype(xt.dtype)  # [C, tq]
+    # out-proj consumed transposed too: outᵀ = Woᵀ·attnᵀ
+    out_t = jax.lax.dot_general(
+        wo_ref[:, :], attn_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [C_out, tq]
+    out = out_t.transpose((1, 0)) + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (xt.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
 def fused_ln_self_attention(
     x: jnp.ndarray,       # [B, S, C]
     ln_scale: jnp.ndarray,  # [C]
@@ -122,21 +199,45 @@ def fused_ln_self_attention(
     eps: float = 1e-5,
     tile_q: int = 256,
     interpret: bool = False,
+    transposed: Optional[bool] = None,
 ) -> jnp.ndarray:
     """x + OutProj(MHA(LN(x))) in one kernel. Requires C % 128 == 0 and
-    head_dim dividing 128 with aligned head groups (callers route)."""
+    head_dim dividing 128 with aligned head groups (callers route).
 
+    ``transposed`` selects the transposed-logits kernel (_kernel_t) whose
+    PV product has no staircase lane waste; default from env AP_ATTN_T.
+    """
+
+    import os
+
+    if transposed is None:
+        transposed = os.environ.get("AP_ATTN_T", "0") == "1"
     b, s, c = x.shape
     d = c // heads
+    g = LANES // d
     assert c % LANES == 0 and LANES % d == 0 and heads % (LANES // d) == 0
     sp = _round_up(s, tile_q)
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
     dt = x.dtype
     cast = lambda a: jnp.asarray(a, dt)
 
+    if transposed:
+        kernel = functools.partial(_kernel_t, heads=heads, s_valid=s, eps=eps,
+                                   sm_scale=float(d) ** -0.5)
+        scratch = [
+            pltpu.VMEM((g * sp, c), dt),   # K staircase per lane group
+            pltpu.VMEM((c, sp), dt),       # vᵀ
+        ]
+    else:
+        kernel = functools.partial(_kernel, heads=heads, s_valid=s, eps=eps,
+                                   sm_scale=float(d) ** -0.5)
+        scratch = [
+            pltpu.VMEM((sp, c), dt),
+            pltpu.VMEM((sp, c), dt),
+        ]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, heads=heads, s_valid=s, eps=eps,
-                          sm_scale=float(d) ** -0.5),
+        kernel,
         grid=(b, sp // tile_q),
         in_specs=[
             pl.BlockSpec((1, sp, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -151,10 +252,7 @@ def fused_ln_self_attention(
         ],
         out_specs=pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, sp, c), dt),
-        scratch_shapes=[
-            pltpu.VMEM((sp, c), dt),
-            pltpu.VMEM((sp, c), dt),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xp, xp, cast(ln_scale).reshape(1, c), cast(ln_bias).reshape(1, c),
       cast(wq), cast(wk), cast(wv), cast(wo), cast(bo).reshape(1, c))

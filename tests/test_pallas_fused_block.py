@@ -127,3 +127,22 @@ def test_vjp_routes_bwd_kernel_on_tpu(rng, monkeypatch):
         argnums=(0, 1))(x, wq)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gwq), np.asarray(gwq_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_transposed_kernel_matches_straight(rng):
+    """_kernel_t (transposed-logits, waste-free PV) == _kernel == unfused."""
+
+    b, s, c, heads = 2, 100, 256, 8
+    x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    ln_s = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    ln_b = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    mk = lambda: jnp.asarray(
+        (rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+    wq, wk, wv, wo = mk(), mk(), mk(), mk()
+    bo = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+
+    want = np.asarray(pfb._xla_reference(x, ln_s, ln_b, wq, wk, wv, wo, bo, heads, 1e-5))
+    got = np.asarray(pfb.fused_ln_self_attention(
+        x, ln_s, ln_b, wq, wk, wv, wo, bo, heads, tile_q=64,
+        interpret=True, transposed=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
