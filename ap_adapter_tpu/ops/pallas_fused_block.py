@@ -41,6 +41,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pick_tile_q(s: int, max_tile: int) -> int:
+    """Largest sublane-aligned (8·k) tile <= max_tile that divides s —
+    a dividing tile removes the pad-to-sp copy AND the un-pad slice around
+    every kernel call (two ~[B,S,C]-sized HBM round trips each; at S=1000
+    the default 256 tile pads to 1024). Falls back to max_tile (padding
+    path) when s has no 8-aligned divisor in range (e.g. S=252)."""
+
+    if s % max_tile == 0:
+        return max_tile
+    # only accept a dividing tile down to half the budget — a much smaller
+    # tile costs more in per-program overhead than the pad copies save
+    for t in range(max_tile - max_tile % 8, max(max_tile // 2 - 1, 7), -8):
+        if s % t == 0:
+            return t
+    return max_tile
+
+
 def _ln(x, scale, bias, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -215,6 +232,7 @@ def fused_ln_self_attention(
     b, s, c = x.shape
     d = c // heads
     g = LANES // d
+    tile_q = pick_tile_q(s, tile_q)
     assert c % LANES == 0 and LANES % d == 0 and heads % (LANES // d) == 0
     sp = _round_up(s, tile_q)
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
@@ -388,6 +406,7 @@ def fused_ln_self_attention_bwd_dx(
 
     b, s, c = x.shape
     d = c // heads
+    tile_q = pick_tile_q(s, tile_q)
     assert c % LANES == 0 and LANES % d == 0 and heads % (LANES // d) == 0
     sp = _round_up(s, tile_q)
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))

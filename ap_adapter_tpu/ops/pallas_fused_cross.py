@@ -32,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 LANES = 128
 
+from ap_adapter_tpu.ops.pallas_fused_block import pick_tile_q
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -159,7 +161,7 @@ def fused_ln_cross_attention(
     else:
         sk_text, sk_ip = sk_total, 0
 
-    tile_q = min(tile_q, _round_up(s, 64))
+    tile_q = pick_tile_q(s, min(tile_q, _round_up(s, 64)))
     sp = _round_up(s, tile_q)
     skp_text = _round_up(max(sk_text, 8), 8)
     skp_ip = _round_up(max(sk_ip, 8), 8)
@@ -391,7 +393,7 @@ def fused_ln_cross_attention_bwd(
     else:
         sk_text, sk_ip = sk_total, 0
 
-    tile_q = min(tile_q, _round_up(s, 64))
+    tile_q = pick_tile_q(s, min(tile_q, _round_up(s, 64)))
     sp = _round_up(s, tile_q)
     skp_text = _round_up(max(sk_text, 8), 8)
     skp_ip = _round_up(max(sk_ip, 8), 8)

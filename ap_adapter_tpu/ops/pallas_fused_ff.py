@@ -19,6 +19,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from ap_adapter_tpu.ops.pallas_fused_block import pick_tile_q
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -79,7 +82,7 @@ def fused_ln_geglu_ff(
     b, s, c = x.shape
     inner = w2.shape[0]
     assert w1.shape == (c, 2 * inner) and inner % 128 == 0 and c % 128 == 0
-    tile_q = min(tile_q, _round_up(s, 64))  # short sequences: one thin tile
+    tile_q = pick_tile_q(s, min(tile_q, _round_up(s, 64)))  # short sequences: one thin tile
     sp = _round_up(s, tile_q)
     if sp != s:
         x_in = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
@@ -177,7 +180,7 @@ def fused_ln_geglu_ff_bwd_dx(
 
     b, s, c = x.shape
     inner = w2.shape[0]
-    tile_q = min(tile_q, _round_up(s, 64))
+    tile_q = pick_tile_q(s, min(tile_q, _round_up(s, 64)))
     sp = _round_up(s, tile_q)
     if sp != s:
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))

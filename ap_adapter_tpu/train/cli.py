@@ -47,6 +47,13 @@ def main(argv=None):
                    help="flat adapter dict (.npz or torch .bin)")
     p.add_argument("--random-weights", action="store_true",
                    help="random base weights (pipeline smoke mode)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize UNet blocks in backward (reference "
+                        "gradient-checkpointing analogue). Off by default: "
+                        "the scan-accumulated step holds one batch-8 "
+                        "microbatch of activations, which fits HBM, and "
+                        "no-remat measures 710 ms vs remat's recompute "
+                        "overhead (docs/PERF.md r3)")
     p.add_argument("--num-validation-audio-files", type=int, default=3,
                    help="validation wavs generated per round "
                         "(reference train_apadapter_v2.py:193)")
@@ -73,12 +80,11 @@ def main(argv=None):
     import dataclasses
 
     config = PipelineConfig()
-    # remat the UNet blocks: the fwd+bwd graph at full scale only compiles
-    # (and fits activation memory at effective batch 32) with checkpointing;
     # scan_unroll=1 keeps the transformer-block scan's graph dedup (the
-    # fwd+bwd module is compile-size-bound, unlike inference)
+    # fwd+bwd module is compile-size-bound, unlike inference); remat is
+    # opt-in (--remat) — see the flag help
     config = config.replace(
-        unet=dataclasses.replace(config.unet, remat=True, scan_unroll=1))
+        unet=dataclasses.replace(config.unet, remat=args.remat, scan_unroll=1))
     pipe = load_pipeline(config, checkpoint_dir=args.checkpoint_dir or None)
 
     if args.resume_from_checkpoint:
