@@ -52,11 +52,9 @@ class ResnetBlock2D(nn.Module):
 
     def _gn_silu(self, h: jnp.ndarray, name: str) -> jnp.ndarray:
         b, hh, ww, c = h.shape
-        # whole-[HW, C]-slab kernel: ~4 fp32-sized live copies must fit VMEM
-        # (the level-0 slabs at [4000, 128..384] do not — measured scoped-
-        # vmem OOM at 23.4M/16M); oversized slabs fall back to flax GN
-        fits = hh * ww * c * 16 <= 6 * 1024 * 1024
-        if self.use_pallas_gn and fits and _on_tpu():
+        # small slabs take the whole-slab kernel; big (level-0) slabs route
+        # to the two-phase tiled variant inside fused_group_norm
+        if self.use_pallas_gn and _on_tpu():
             from ap_adapter_tpu.ops.pallas_groupnorm import group_norm_silu
 
             scale, bias = GroupNormParams(c, name=name)()

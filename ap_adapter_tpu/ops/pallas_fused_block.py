@@ -36,6 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 LANES = 128
 
+import os as _os
+
+# bf16 softmax inner pass in the bf16 compute path (A/B: AP_ATTN_BF16=0)
+_BF16_SOFTMAX = _os.environ.get("AP_ATTN_BF16", "1") == "1"
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -109,8 +114,15 @@ def _kernel(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < s_valid, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if xt.dtype == jnp.bfloat16 and _BF16_SOFTMAX:
+            # bf16 exp/sum over the S² probs (~0.4% rel err — same class as
+            # the bf16 matmul rounding everywhere else); fp32 parity tests
+            # keep the fp32 path. Halves the dominant VPU traffic.
+            p = jnp.exp((logits - m).astype(jnp.bfloat16))
+            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            p = jnp.exp(logits - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
         o_full = jax.lax.dot_general(
             p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / denom  # [g*tq, 128]

@@ -65,6 +65,58 @@ def _kernel(x_ref, g_ref, b_ref, o_ref, *, groups: int, n_valid: int,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _tiled_kernel(x_ref, g_ref, b_ref, o_ref, sum_scr, sq_scr, *,
+                  groups: int, n_valid: int, eps: float, act: bool,
+                  tile: int):
+    """Two-phase tiled GN+SiLU for slabs too large for whole-slab VMEM
+    (the level-0 [4000, 128..384] UNet resnets). Grid (b, 2, n_tiles):
+    phase 0 accumulates per-channel sums across HW tiles in scratch,
+    phase 1 combines to group stats and writes the normalized tiles."""
+
+    ph = pl.program_id(1)
+    j = pl.program_id(2)
+    x = x_ref[0]  # [tile, C]
+    c = x.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + j * tile
+    xf = jnp.where(row < n_valid, x.astype(jnp.float32), 0.0)
+
+    @pl.when(ph == 0)
+    def _():
+        @pl.when(j == 0)
+        def _():
+            sum_scr[:, :] = jnp.zeros_like(sum_scr)
+            sq_scr[:, :] = jnp.zeros_like(sq_scr)
+        sum_scr[:, :] += jnp.sum(xf, axis=0, keepdims=True)
+        sq_scr[:, :] += jnp.sum(xf * xf, axis=0, keepdims=True)
+
+    @pl.when(ph == 1)
+    def _():
+        ch = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+        ind = (ch // (c // groups) == gr).astype(jnp.float32)
+        n = float(n_valid * (c // groups))
+        mean_g = jax.lax.dot_general(sum_scr[:, :], ind, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) / n
+        sq_g = jax.lax.dot_general(sq_scr[:, :], ind, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) / n
+        rstd_g = jax.lax.rsqrt(sq_g - mean_g * mean_g + eps)
+        mean_c = jax.lax.dot_general(mean_g, ind.T, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        rstd_c = jax.lax.dot_general(rstd_g, ind.T, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        gamma = g_ref[0].astype(jnp.float32)
+        beta = b_ref[0].astype(jnp.float32)
+        y = (x.astype(jnp.float32) - mean_c) * (rstd_c * gamma) + beta
+        if act:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+
+# whole-slab kernel budget: x + fp32 copy + output live at once
+_WHOLE_SLAB_BYTES = 6 * 1024 * 1024
+_GN_TILE = 512
+
+
 def fused_group_norm(
     x: jnp.ndarray,  # [B, N, C] (N = H*W tokens)
     gamma: jnp.ndarray,  # [C]
@@ -75,6 +127,35 @@ def fused_group_norm(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, n, c = x.shape
+    if n * c * 16 > _WHOLE_SLAB_BYTES:
+        tile = _GN_TILE
+        np_ = _round_up(n, tile)
+        xp = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_tiled_kernel, groups=groups, n_valid=n,
+                              eps=eps, act=act, tile=tile),
+            grid=(b, 2, np_ // tile),
+            in_specs=[
+                pl.BlockSpec((1, tile, c), lambda i, ph, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i, ph, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i, ph, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            # phase 0 parks the output window on block (i, 0); its garbage
+            # flushes are overwritten by phase 1's ordered writes
+            out_specs=pl.BlockSpec(
+                (1, tile, c),
+                lambda i, ph, j: (i, jax.lax.select(ph == 1, j, 0), 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, np_, c), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((1, c), jnp.float32),
+                pltpu.VMEM((1, c), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xp, gamma.reshape(1, c), beta.reshape(1, c))
+        return out[:, :n]
+
     np_ = _round_up(n, 8)
     xp = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
 

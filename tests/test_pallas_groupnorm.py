@@ -79,3 +79,27 @@ def test_resnet_use_pallas_gn_routing(rng, monkeypatch):
     y_on = block_on.apply({"params": params}, x, temb)
     np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tiled_two_phase_matches_reference(rng):
+    """Big-slab route (two-phase tiled stats) == XLA GN reference."""
+
+    import jax.numpy as jnp
+
+    import ap_adapter_tpu.ops.pallas_groupnorm as pg
+
+    b, n, c, groups = 2, 1100, 256, 32  # > _WHOLE_SLAB_BYTES at 16 B/elem? no
+    # force the tiled route regardless of slab size
+    orig_budget, orig_tile = pg._WHOLE_SLAB_BYTES, pg._GN_TILE
+    pg._WHOLE_SLAB_BYTES, pg._GN_TILE = 1, 256
+    try:
+        x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+        gamma = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+        beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+        for act in (False, True):
+            want = np.asarray(pg._xla_reference(x, gamma, beta, groups, 1e-5, act))
+            got = np.asarray(pg.fused_group_norm(
+                x, gamma, beta, groups, eps=1e-5, act=act, interpret=True))
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    finally:
+        pg._WHOLE_SLAB_BYTES, pg._GN_TILE = orig_budget, orig_tile
