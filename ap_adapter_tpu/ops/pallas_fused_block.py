@@ -38,8 +38,10 @@ LANES = 128
 
 import os as _os
 
-# bf16 softmax inner pass in the bf16 compute path (A/B: AP_ATTN_BF16=0)
-_BF16_SOFTMAX = _os.environ.get("AP_ATTN_BF16", "1") == "1"
+# bf16 softmax inner pass (opt-in A/B: AP_ATTN_BF16=1) — measured 2.186 vs
+# 2.227 clips/s at batch 24: bf16 exp is NOT faster on this VPU (internal
+# fp32 transcendental + converts); kept for other backends/shapes
+_BF16_SOFTMAX = _os.environ.get("AP_ATTN_BF16", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
