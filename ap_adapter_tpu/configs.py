@@ -248,6 +248,9 @@ class UNetConfig:
     # (measured parity-or-slower vs XLA's fused GN at UNet shapes,
     # docs/PERF.md negative results)
     use_pallas_groupnorm: bool = False
+    # fully-fused resnet block kernel (ops/pallas_resnet.py): both GN+SiLU
+    # passes + both 3x3 convs + temb + shortcut in one VMEM-resident kernel
+    use_pallas_resnet: bool = False
     # rematerialize each resnet/attention group in the backward pass —
     # shrinks the fwd+bwd graph and activation memory so the full-scale
     # train step compiles on TPU (the training CLI turns this on; pure

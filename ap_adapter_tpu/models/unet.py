@@ -112,7 +112,7 @@ class AudioLDM2UNet(nn.Module):
         for bi in range(num_blocks):
             out_ch = ch[bi]
             for li in range(c.layers_per_block):
-                x = Resnet(out_ch, groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm,
+                x = Resnet(out_ch, groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm, use_pallas_resnet=c.use_pallas_resnet,
                            dtype=self.dtype, name=f"down_{bi}_resnet_{li}")(x, temb)
                 if c.down_block_has_attn[bi]:
                     x = attn_group(out_ch, f"down_{bi}_attn_{li}")(
@@ -125,10 +125,10 @@ class AudioLDM2UNet(nn.Module):
                 skips.append(x)
 
         # ----- mid -----
-        x = Resnet(ch[-1], groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm,
+        x = Resnet(ch[-1], groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm, use_pallas_resnet=c.use_pallas_resnet,
                    dtype=self.dtype, name="mid_resnet_0")(x, temb)
         x = attn_group(ch[-1], "mid_attn_0")(x, ehs0, ehs1, bias0, bias1, ip_scale)
-        x = Resnet(ch[-1], groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm,
+        x = Resnet(ch[-1], groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm, use_pallas_resnet=c.use_pallas_resnet,
                    dtype=self.dtype, name="mid_resnet_1")(x, temb)
 
         # ----- up -----
@@ -139,7 +139,7 @@ class AudioLDM2UNet(nn.Module):
             for li in range(c.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = Resnet(out_ch, groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm,
+                x = Resnet(out_ch, groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm, use_pallas_resnet=c.use_pallas_resnet,
                            dtype=self.dtype, name=f"up_{bi}_resnet_{li}")(x, temb)
                 if c.up_block_has_attn[bi]:
                     x = attn_group(out_ch, f"up_{bi}_attn_{li}")(

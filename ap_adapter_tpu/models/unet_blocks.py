@@ -20,7 +20,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 from ap_adapter_tpu.ops.attention import _on_tpu, sdpa, self_attention
+
+# A/B hook: AP_FUSE_SMALL_ATTN=0 restores the r2 routing (fused attention
+# kernels only at the >=512-token sites; 252/64-token sites stay XLA)
+_SMALL_ATTN_MIN_N = 64 if _os.environ.get("AP_FUSE_SMALL_ATTN", "1") == "1" else 512
 
 
 class GroupNormParams(nn.Module):
@@ -34,10 +40,32 @@ class GroupNormParams(nn.Module):
                 self.param("bias", nn.initializers.zeros, (self.dim,)))
 
 
+class ConvParams(nn.Module):
+    """Raw conv weights (same param tree as nn.Conv: kernel [kh, kw, in, out]
+    + bias) — exposed as arrays so fused kernels consume them directly."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class ResnetBlock2D(nn.Module):
     """GN -> silu -> conv -> (+temb) -> GN -> silu -> conv (+shortcut).
 
-    ``use_pallas_gn`` routes the GN+SiLU pairs to the fused Pallas kernel
+    ``use_pallas_resnet`` routes the WHOLE block to one fused Pallas kernel
+    (ops/pallas_resnet.py: both GN+SiLU passes, both 3x3 convs, the
+    time-embedding add and the shortcut — the slab is read once and written
+    once). Falls back per-site when the slab exceeds the VMEM budget.
+
+    ``use_pallas_gn`` routes just the GN+SiLU pairs to the fused GN kernel
     (ops/pallas_groupnorm.py). Opt-in: measured at parity-or-slower vs XLA's
     fused GroupNorm at UNet shapes (docs/PERF.md negative results), kept for
     shapes/backends where the one-pass VMEM read wins.
@@ -48,6 +76,7 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     use_temb: bool = True
     use_pallas_gn: bool = False
+    use_pallas_resnet: bool = False
     dtype: Any = jnp.float32
 
     def _gn_silu(self, h: jnp.ndarray, name: str) -> jnp.ndarray:
@@ -68,6 +97,30 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_ch = x.shape[-1]
+        out_ch = self.out_channels
+
+        if self.use_pallas_resnet and _on_tpu():
+            from ap_adapter_tpu.ops.pallas_resnet import (
+                fused_resnet_block_vjp,
+                fused_resnet_fits,
+            )
+
+            if fused_resnet_fits(x.shape[1], x.shape[2], in_ch, out_ch):
+                g1s, g1b = GroupNormParams(in_ch, name="norm1")()
+                w1, b1 = ConvParams(out_ch, (3, 3), name="conv1")(in_ch)
+                tp = None
+                if self.use_temb and temb is not None:
+                    tp = nn.Dense(out_ch, dtype=self.dtype,
+                                  name="time_emb_proj")(nn.silu(temb))
+                g2s, g2b = GroupNormParams(out_ch, name="norm2")()
+                w2, b2 = ConvParams(out_ch, (3, 3), name="conv2")(out_ch)
+                wsc = bsc = None
+                if in_ch != out_ch:
+                    wsc, bsc = ConvParams(out_ch, (1, 1), name="conv_shortcut")(in_ch)
+                return fused_resnet_block_vjp(
+                    x.astype(self.dtype), tp, g1s, g1b, w1, b1, g2s, g2b,
+                    w2, b2, wsc, bsc, self.groups, self.eps)
+
         h = self._gn_silu(x, "norm1")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
@@ -249,11 +302,16 @@ class CrossAttention(nn.Module):
         wo, bo = DenseParams(self.out_dim, name="to_out")(inner)
 
         d = self.dim_head
+        from ap_adapter_tpu.ops.pallas_fused_block import fused_block_applicable
+
         fused_ok = (
             pre_ln is not None and not is_cross and mask_bias is None
             and not self.use_adapter
-            and n >= 512 and inner % 128 == 0 and 128 % d == 0
-            and self.heads % (128 // d) == 0
+            # head dims that don't divide 128 (the 48/80-dim levels) run at
+            # an internal padded width — the padding is folded into the
+            # projection weights, so every site with >=64 tokens fuses
+            and n >= _SMALL_ATTN_MIN_N and inner % 128 == 0
+            and fused_block_applicable(self.heads, d)
             and inner == c_in and self.out_dim == c_in
             and _on_tpu()
         )
@@ -272,8 +330,8 @@ class CrossAttention(nn.Module):
 
         fused_cross_ok = (
             pre_ln is not None and is_cross
-            and n >= 512 and inner % 128 == 0 and 128 % d == 0
-            and self.heads % (128 // d) == 0
+            and n >= _SMALL_ATTN_MIN_N and inner % 128 == 0
+            and fused_block_applicable(self.heads, d)
             and inner == c_in and self.out_dim == c_in
             # text-only conditioning leaves the audio branch EMPTY; the XLA
             # path contracts over zero keys to exact zeros — keep it there.

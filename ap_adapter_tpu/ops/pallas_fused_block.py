@@ -48,6 +48,47 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_head_dim(d: int) -> Optional[int]:
+    """Smallest divisor of 128 >= d — the internal head width the staircase
+    packing runs at. Heads with d not dividing 128 (the UNet's 48- and
+    80-dim levels) are zero-padded to this width BY RESHAPING THE PROJECTION
+    WEIGHTS outside the kernel: q/k/v come out of their matmuls already in
+    padded-head layout, so the padding costs nothing at runtime (the pad
+    lanes of k/v are zero => logits/PV contributions are exact)."""
+
+    for v in (8, 16, 32, 64, 128):
+        if v >= d:
+            return v
+    return None
+
+
+def fused_block_applicable(heads: int, d: int) -> bool:
+    """Whether the staircase kernels support this (heads, head_dim)."""
+
+    d_p = _pad_head_dim(d)
+    if d_p is None:
+        return False
+    return (heads * d_p) % LANES == 0 and heads % (LANES // d_p) == 0
+
+
+def _pad_heads_in(w: jnp.ndarray, heads: int, d_in: int, d_p: int) -> jnp.ndarray:
+    """[C_in, heads*d_in] -> [C_in, heads*d_p], zero columns per head."""
+
+    c_in = w.shape[0]
+    w = w.reshape(c_in, heads, d_in)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, d_p - d_in)))
+    return w.reshape(c_in, heads * d_p)
+
+
+def _pad_heads_out(wo: jnp.ndarray, heads: int, d_in: int, d_p: int) -> jnp.ndarray:
+    """[heads*d_in, C_out] -> [heads*d_p, C_out], zero rows per head."""
+
+    c_out = wo.shape[-1]
+    wo = wo.reshape(heads, d_in, c_out)
+    wo = jnp.pad(wo, ((0, 0), (0, d_p - d_in), (0, 0)))
+    return wo.reshape(heads * d_p, c_out)
+
+
 def pick_tile_q(s: int, max_tile: int) -> int:
     """Largest sublane-aligned (8·k) tile <= max_tile that divides s —
     a dividing tile removes the pad-to-sp copy AND the un-pad slice around
@@ -55,6 +96,10 @@ def pick_tile_q(s: int, max_tile: int) -> int:
     the default 256 tile pads to 1024). Falls back to max_tile (padding
     path) when s has no 8-aligned divisor in range (e.g. S=252)."""
 
+    if s <= max_tile:
+        # short sequences (the 252- and 64-token UNet levels): one tile
+        # covering the whole (8-aligned) sequence
+        return _round_up(s, 8)
     if s % max_tile == 0:
         return max_tile
     # only accept a dividing tile down to half the budget — a much smaller
@@ -76,10 +121,11 @@ def _kernel(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             wo_ref, bo_ref, o_ref, k_scr, v_scr, *,
             heads: int, s_valid: int, eps: float, sm_scale: float):
     j = pl.program_id(1)
-    c = x_tile_ref.shape[-1]
-    d = c // heads
+    c = x_tile_ref.shape[-1]   # LN/residual width
+    cq = wq_ref.shape[-1]      # q/k/v width = heads * (padded) head dim
+    d = cq // heads
     g = LANES // d           # heads per 128-lane group
-    n_groups = c // LANES    # lane groups
+    n_groups = cq // LANES   # lane groups
     tq = x_tile_ref.shape[1]
 
     lns = lns_ref[0].astype(jnp.float32)  # [1, C] viewed rows
@@ -244,10 +290,19 @@ def fused_ln_self_attention(
     if transposed is None:
         transposed = os.environ.get("AP_ATTN_T", "0") == "1"
     b, s, c = x.shape
-    d = c // heads
+    d_in = c // heads
+    d = _pad_head_dim(d_in)
+    assert d is not None and fused_block_applicable(heads, d_in) and c % LANES == 0
+    cq = heads * d
+    if d != d_in:
+        # fold the head padding into the weights (zero pad lanes — exact)
+        wq = _pad_heads_in(wq, heads, d_in, d)
+        wk = _pad_heads_in(wk, heads, d_in, d)
+        wv = _pad_heads_in(wv, heads, d_in, d)
+        wo = _pad_heads_out(wo, heads, d_in, d)
+        transposed = False  # _kernel_t keeps the aligned-d layout only
     g = LANES // d
     tile_q = pick_tile_q(s, tile_q)
-    assert c % LANES == 0 and LANES % d == 0 and heads % (LANES // d) == 0
     sp = _round_up(s, tile_q)
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
     dt = x.dtype
@@ -255,17 +310,17 @@ def fused_ln_self_attention(
 
     if transposed:
         kernel = functools.partial(_kernel_t, heads=heads, s_valid=s, eps=eps,
-                                   sm_scale=float(d) ** -0.5)
+                                   sm_scale=float(d_in) ** -0.5)
         scratch = [
-            pltpu.VMEM((g * sp, c), dt),   # K staircase per lane group
-            pltpu.VMEM((c, sp), dt),       # vᵀ
+            pltpu.VMEM((g * sp, cq), dt),  # K staircase per lane group
+            pltpu.VMEM((cq, sp), dt),      # vᵀ
         ]
     else:
         kernel = functools.partial(_kernel, heads=heads, s_valid=s, eps=eps,
-                                   sm_scale=float(d) ** -0.5)
+                                   sm_scale=float(d_in) ** -0.5)
         scratch = [
-            pltpu.VMEM((sp, c), dt),
-            pltpu.VMEM((sp, c), dt),
+            pltpu.VMEM((sp, cq), dt),
+            pltpu.VMEM((sp, cq), dt),
         ]
 
     out = pl.pallas_call(
@@ -276,10 +331,10 @@ def fused_ln_self_attention(
             pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cq, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -307,10 +362,11 @@ def _bwd_kernel(x_full_ref, g_full_ref, x_tile_ref, g_tile_ref, lns_ref,
 
     j = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    c = x_tile_ref.shape[-1]
-    d = c // heads
+    c = x_tile_ref.shape[-1]   # LN/residual width
+    cq = wq_ref.shape[-1]      # q/k/v width = heads * (padded) head dim
+    d = cq // heads
     g = LANES // d
-    n_groups = c // LANES
+    n_groups = cq // LANES
     tq = x_tile_ref.shape[1]
 
     lns = lns_ref[0].astype(jnp.float32)
@@ -419,9 +475,16 @@ def fused_ln_self_attention_bwd_dx(
     """Input gradient of fused_ln_self_attention (one kernel)."""
 
     b, s, c = x.shape
-    d = c // heads
+    d_in = c // heads
+    d = _pad_head_dim(d_in)
+    assert d is not None and fused_block_applicable(heads, d_in) and c % LANES == 0
+    cq = heads * d
+    if d != d_in:
+        wq = _pad_heads_in(wq, heads, d_in, d)
+        wk = _pad_heads_in(wk, heads, d_in, d)
+        wv = _pad_heads_in(wv, heads, d_in, d)
+        wo = _pad_heads_out(wo, heads, d_in, d)
     tile_q = pick_tile_q(s, tile_q)
-    assert c % LANES == 0 and LANES % d == 0 and heads % (LANES // d) == 0
     sp = _round_up(s, tile_q)
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
     gp = jnp.pad(jnp.asarray(grad, x.dtype), ((0, 0), (0, sp - s), (0, 0)))
@@ -431,21 +494,22 @@ def fused_ln_self_attention_bwd_dx(
     full = pl.BlockSpec((1, sp, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     tile = pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    mat_in = pl.BlockSpec((c, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    mat_out = pl.BlockSpec((cq, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
     dx = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, s_valid=s, eps=eps,
-                          sm_scale=float(d) ** -0.5),
+                          sm_scale=float(d_in) ** -0.5),
         grid=(b, sp // tile_q),
-        in_specs=[full, full, tile, tile, vec, vec, mat, mat, mat, mat],
+        in_specs=[full, full, tile, tile, vec, vec, mat_in, mat_in, mat_in, mat_out],
         out_specs=full,
         out_shape=jax.ShapeDtypeStruct((b, sp, c), grad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((sp, c), dt),          # k
-            pltpu.VMEM((sp, c), dt),          # v
-            pltpu.VMEM((sp, c), jnp.float32),  # gxn accumulator
-            pltpu.VMEM((sp, c), jnp.float32),  # dk accumulator
-            pltpu.VMEM((sp, c), jnp.float32),  # dv accumulator
+            pltpu.VMEM((sp, cq), dt),          # k
+            pltpu.VMEM((sp, cq), dt),          # v
+            pltpu.VMEM((sp, c), jnp.float32),   # gxn accumulator
+            pltpu.VMEM((sp, cq), jnp.float32),  # dk accumulator
+            pltpu.VMEM((sp, cq), jnp.float32),  # dv accumulator
         ],
         interpret=interpret,
     )(xp, gp, xp, gp, cast(ln_scale).reshape(1, c), cast(ln_bias).reshape(1, c),

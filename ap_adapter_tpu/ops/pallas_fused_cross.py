@@ -32,7 +32,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 LANES = 128
 
-from ap_adapter_tpu.ops.pallas_fused_block import pick_tile_q
+from ap_adapter_tpu.ops.pallas_fused_block import (
+    _pad_head_dim,
+    _pad_heads_in,
+    _pad_heads_out,
+    fused_block_applicable,
+    pick_tile_q,
+)
+
+
+def _unpad_heads(a: jnp.ndarray, heads: int, d_in: int, d_p: int) -> jnp.ndarray:
+    """[B, S, heads*d_p] -> [B, S, heads*d_in] (drop zero pad lanes)."""
+
+    if d_p == d_in:
+        return a
+    b, s, _ = a.shape
+    return a.reshape(b, s, heads, d_p)[..., :d_in].reshape(b, s, heads * d_in)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -88,8 +103,8 @@ def _kernel(x_tile_ref, ctx_ref, bias_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
             heads: int, num_ip: int, sk_text: int, sk_ip: int, eps: float,
             sm_scale: float, has_ip: bool, has_bias: bool):
     j = pl.program_id(1)
-    c = x_tile_ref.shape[-1]
-    d = c // heads
+    cq = wq_ref.shape[-1]  # heads * (padded) head dim
+    d = cq // heads
 
     @pl.when(j == 0)
     def _():
@@ -152,8 +167,10 @@ def fused_ln_cross_attention(
     head_dim dividing 128 required (callers route)."""
 
     b, s, c = x.shape
-    d = c // heads
-    assert c % LANES == 0 and LANES % d == 0 and heads % (LANES // d) == 0
+    d_in = c // heads
+    d_p = _pad_head_dim(d_in)
+    assert d_p is not None and fused_block_applicable(heads, d_in) and c % LANES == 0
+    cq = heads * d_p
     has_ip = wk_ip is not None
     sk_total = context.shape[1]
     if has_ip:
@@ -184,11 +201,19 @@ def fused_ln_cross_attention(
     zeros_w = jnp.zeros((dc, c), dt)
     wki = cast(wk_ip) if has_ip else zeros_w
     wvi = cast(wv_ip) if has_ip else zeros_w
+    if d_p != d_in:
+        # head padding folded into the weights (zero lanes — exact)
+        wq = _pad_heads_in(cast(wq), heads, d_in, d_p)
+        wk = _pad_heads_in(cast(wk), heads, d_in, d_p)
+        wv = _pad_heads_in(cast(wv), heads, d_in, d_p)
+        wki = _pad_heads_in(wki, heads, d_in, d_p)
+        wvi = _pad_heads_in(wvi, heads, d_in, d_p)
+        wo = _pad_heads_out(cast(wo), heads, d_in, d_p)
 
     out = pl.pallas_call(
         functools.partial(
             _kernel, heads=heads, num_ip=num_ip_tokens, sk_text=sk_text,
-            sk_ip=sk_ip, eps=eps, sm_scale=float(d) ** -0.5,
+            sk_ip=sk_ip, eps=eps, sm_scale=float(d_in) ** -0.5,
             has_ip=has_ip, has_bias=has_bias,
         ),
         grid=(b, sp // tile_q),
@@ -198,22 +223,22 @@ def fused_ln_cross_attention(
             pl.BlockSpec((1, 1, skp_text), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cq, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, sp, c), dt),
         scratch_shapes=[
-            pltpu.VMEM((skp_text, c), dt),
-            pltpu.VMEM((skp_text, c), dt),
-            pltpu.VMEM((skp_ip, c), dt),
-            pltpu.VMEM((skp_ip, c), dt),
+            pltpu.VMEM((skp_text, cq), dt),
+            pltpu.VMEM((skp_text, cq), dt),
+            pltpu.VMEM((skp_ip, cq), dt),
+            pltpu.VMEM((skp_ip, cq), dt),
         ],
         interpret=interpret,
     )(xp, ctxp, bias, cast(ln_scale).reshape(1, c), cast(ln_bias).reshape(1, c),
@@ -297,8 +322,8 @@ def _bwd_kernel(x_full_ref, g_full_ref, x_tile_ref, g_tile_ref, ctx_ref,
 
     j = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    c = x_tile_ref.shape[-1]
-    d = c // heads
+    cq = wq_ref.shape[-1]  # heads * (padded) head dim
+    d = cq // heads
 
     lns = lns_ref[0].astype(jnp.float32)
     lnb = lnb_ref[0].astype(jnp.float32)
@@ -385,7 +410,10 @@ def fused_ln_cross_attention_bwd(
     branch."""
 
     b, s, c = x.shape
-    d = c // heads
+    d_in = c // heads
+    d_p = _pad_head_dim(d_in)
+    assert d_p is not None and fused_block_applicable(heads, d_in) and c % LANES == 0
+    cq = heads * d_p
     has_ip = wk_ip is not None
     sk_total = context.shape[1]
     if has_ip:
@@ -417,16 +445,23 @@ def fused_ln_cross_attention_bwd(
     zeros_w = jnp.zeros((dc, c), dt)
     wki = cast(wk_ip) if has_ip else zeros_w
     wvi = cast(wv_ip) if has_ip else zeros_w
+    if d_p != d_in:
+        wq = _pad_heads_in(cast(wq), heads, d_in, d_p)
+        wk = _pad_heads_in(cast(wk), heads, d_in, d_p)
+        wv = _pad_heads_in(cast(wv), heads, d_in, d_p)
+        wki = _pad_heads_in(wki, heads, d_in, d_p)
+        wvi = _pad_heads_in(wvi, heads, d_in, d_p)
+        wo = _pad_heads_out(cast(wo), heads, d_in, d_p)
 
     full = pl.BlockSpec((1, sp, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     tile = pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    ipb = pl.BlockSpec((1, skp_ip, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    ipb = pl.BlockSpec((1, skp_ip, cq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
 
     dx, dki, dvi = pl.pallas_call(
         functools.partial(
             _bwd_kernel, heads=heads, num_ip=num_ip_tokens, sk_text=sk_text,
-            sk_ip=sk_ip, eps=eps, sm_scale=float(d) ** -0.5,
+            sk_ip=sk_ip, eps=eps, sm_scale=float(d_in) ** -0.5,
             has_ip=has_ip, has_bias=has_bias),
         grid=(b, sp // tile_q),
         in_specs=[
@@ -434,34 +469,38 @@ def fused_ln_cross_attention_bwd(
             pl.BlockSpec((1, skp_total, dc), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, skp_text), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             vec, vec,
-            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dc, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cq, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[full, ipb, ipb],
         out_shape=[
             jax.ShapeDtypeStruct((b, sp, c), grad.dtype),
-            jax.ShapeDtypeStruct((b, skp_ip, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, skp_ip, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, skp_ip, cq), jnp.float32),
+            jax.ShapeDtypeStruct((b, skp_ip, cq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((skp_text, c), dt),
-            pltpu.VMEM((skp_text, c), dt),
-            pltpu.VMEM((skp_ip, c), dt),
-            pltpu.VMEM((skp_ip, c), dt),
+            pltpu.VMEM((skp_text, cq), dt),
+            pltpu.VMEM((skp_text, cq), dt),
+            pltpu.VMEM((skp_ip, cq), dt),
+            pltpu.VMEM((skp_ip, cq), dt),
             pltpu.VMEM((sp, c), jnp.float32),
-            pltpu.VMEM((skp_ip, c), jnp.float32),
-            pltpu.VMEM((skp_ip, c), jnp.float32),
+            pltpu.VMEM((skp_ip, cq), jnp.float32),
+            pltpu.VMEM((skp_ip, cq), jnp.float32),
         ],
         interpret=interpret,
     )(xp, gp, xp, gp, ctxp, bias, cast(ln_scale).reshape(1, c),
       cast(ln_bias).reshape(1, c), cast(wq), cast(wk), cast(wv), wki, wvi,
       cast(wo), jnp.asarray(ip_scale, jnp.float32).reshape(1, 1))
-    return dx[:, :s], dki[:, :sk_ip], dvi[:, :sk_ip]
+    # ip-projection grads come out in padded-head layout — drop the (exactly
+    # zero) pad lanes before the XLA weight-grad einsum
+    dki = _unpad_heads(dki[:, :sk_ip], heads, d_in, d_p)
+    dvi = _unpad_heads(dvi[:, :sk_ip], heads, d_in, d_p)
+    return dx[:, :s], dki, dvi
 
 
 def _xla_reference(x, context, ln_scale, ln_bias, wq, wk, wv, wo, bo, heads,

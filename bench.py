@@ -55,6 +55,11 @@ def main() -> None:
 
         config = config.replace(
             unet=dataclasses.replace(config.unet, use_pallas_groupnorm=True))
+    if _os.environ.get("AP_USE_PALLAS_RESNET", "1") == "1":  # A/B: =0 disables
+        import dataclasses
+
+        config = config.replace(
+            unet=dataclasses.replace(config.unet, use_pallas_resnet=True))
     pipe = AudioLDM2Pipeline.from_random(config, seed=0)
 
     prompts = ["Trumpet, playing trumpet solo"] * BATCH

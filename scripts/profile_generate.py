@@ -33,6 +33,14 @@ def main() -> None:
     from ap_adapter_tpu.pipeline.tokenize import make_text_batch
 
     config = PipelineConfig()
+    import dataclasses
+
+    if _os.environ.get("AP_USE_PALLAS_GN") == "1":
+        config = config.replace(
+            unet=dataclasses.replace(config.unet, use_pallas_groupnorm=True))
+    if _os.environ.get("AP_USE_PALLAS_RESNET", "1") == "1":
+        config = config.replace(
+            unet=dataclasses.replace(config.unet, use_pallas_resnet=True))
     pipe = AudioLDM2Pipeline.from_random(config, seed=0)
     pos = make_text_batch(config, ["Trumpet solo"] * BATCH, t5_len=64)
     neg = make_text_batch(config, ["low quality"] * BATCH, t5_len=64)

@@ -30,6 +30,8 @@ def _unfused(x, ln_s, ln_b, wq, wk, wv, wo, bo, heads, eps):
     ((2, 100, 256), 8),   # hot-site layout (2 lane groups x 4 packed heads)
     ((1, 70, 128), 4),    # single lane group, d=32
     ((1, 40, 128), 2),    # d=64, g=2
+    ((2, 60, 384), 8),    # d=48 -> padded to 64 via the weight reshape
+    ((1, 64, 640), 8),    # d=80 -> padded to 128 (g=1, 8 lane groups)
 ])
 def test_fused_block_matches_unfused(rng, shape, heads):
     b, s, c = shape
@@ -85,6 +87,33 @@ def test_bwd_dx_kernel_matches_autodiff(rng):
 
     want = jax.grad(lambda x: jnp.sum(
         pfb._xla_reference(x, ln_s, ln_b, wq, wk, wv, wo, bo, 8, 1e-5) * ct))(x)
+    got = pfb.fused_ln_self_attention_bwd_dx(
+        x, ct, ln_s, ln_b, wq, wk, wv, wo, heads, eps=1e-5, tile_q=64,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape,heads", [
+    ((2, 60, 384), 8),    # d=48 (padded-head staircase)
+    ((1, 64, 640), 8),    # d=80
+])
+def test_bwd_dx_kernel_padded_heads(rng, shape, heads):
+    """Pallas backward dx kernel at the 48/80-dim head widths (weight-folded
+    head padding) vs jax.grad through the unfused reference."""
+
+    b, s, c = shape
+    x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    ln_s = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    ln_b = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    mk = lambda: jnp.asarray(
+        (rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+    wq, wk, wv, wo = mk(), mk(), mk(), mk()
+    bo = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    ct = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+
+    want = jax.grad(lambda x: jnp.sum(
+        pfb._xla_reference(x, ln_s, ln_b, wq, wk, wv, wo, bo, heads, 1e-5) * ct))(x)
     got = pfb.fused_ln_self_attention_bwd_dx(
         x, ct, ln_s, ln_b, wq, wk, wv, wo, heads, eps=1e-5, tile_q=64,
         interpret=True)

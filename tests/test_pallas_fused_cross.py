@@ -17,6 +17,8 @@ def _mk(rng, *shape, scale=1.0):
 @pytest.mark.parametrize("b,s,c,heads,sk,dc", [
     (2, 100, 256, 8, 64, 48),   # T5-style site
     (1, 70, 128, 4, 12, 32),
+    (1, 60, 384, 8, 24, 48),    # d=48 -> padded-head layout (64)
+    (1, 64, 640, 8, 16, 48),    # d=80 -> padded-head layout (128)
 ])
 @pytest.mark.parametrize("with_mask", [False, True])
 def test_fused_cross_plain(rng, b, s, c, heads, sk, dc, with_mask):
@@ -118,11 +120,15 @@ def test_bwd_kernel_plain_cross(rng, with_mask):
     assert dki.shape[1] == 0 and dvi.shape[1] == 0
 
 
-def test_bwd_kernel_dual_kv_adapter_grads(rng):
+@pytest.mark.parametrize("c,heads", [
+    (256, 8),   # aligned d=32
+    (384, 8),   # d=48 -> padded-head layout (adapter grads unpadded back)
+])
+def test_bwd_kernel_dual_kv_adapter_grads(rng, c, heads):
     """Adapter site bwd: dx AND the to_k_ip/to_v_ip weight grads (via the
     kernel's per-position dki/dvi + the XLA einsum) vs autodiff."""
 
-    b, s, c, heads, dc = 2, 100, 256, 8, 48
+    b, s, dc = 2, 100, 48
     n_ip, sk = 8, 8 + 20
     scale = 0.55
     x = _mk(rng, b, s, c)
