@@ -105,7 +105,8 @@ class ResnetBlock2D(nn.Module):
                 fused_resnet_fits,
             )
 
-            if fused_resnet_fits(x.shape[1], x.shape[2], in_ch, out_ch):
+            if fused_resnet_fits(x.shape[1], x.shape[2], in_ch, out_ch,
+                                 itemsize=jnp.dtype(self.dtype).itemsize):
                 g1s, g1b = GroupNormParams(in_ch, name="norm1")()
                 w1, b1 = ConvParams(out_ch, (3, 3), name="conv1")(in_ch)
                 tp = None

@@ -42,14 +42,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _group_norm_silu(x, gamma_ref, beta_ref, groups: int, n_valid: int,
-                     eps: float):
-    """GN+SiLU over a [HWp, C] slab (pad rows zero); returns fp32."""
+_CHUNK = 128  # lane-chunk width for the fp32 roll working set
 
-    c = x.shape[-1]
-    xf = x.astype(jnp.float32)
-    col_sum = jnp.sum(xf, axis=0, keepdims=True)       # [1, C]
-    col_sq = jnp.sum(xf * xf, axis=0, keepdims=True)
+# Mosaic layout rule learned the hard way (see docs/PERF.md): lane-SLICING a
+# computed [1, C] row (e.g. ``scale_c[:, 128:256]``) yields an offset-carrying
+# register view, and ``vector.broadcast`` of an offset view is unimplemented
+# ("Invalid input layout"). Every row that gets broadcast below is therefore
+# either a fresh ref load or a per-chunk dot result — both offset-0.
+
+
+def _gn_group_stats(read_chunk, c: int, groups: int, n_valid: int,
+                    eps: float):
+    """Per-group GN statistics: returns fp32 (mean_g, rstd_g), each [1, G].
+
+    ``read_chunk(c0, ce)`` must return the fp32 [HWp, ce-c0] lane-chunk of
+    the slab (pad rows zero). Column sums accumulate chunk-wise so the full
+    slab is never materialized in fp32; the per-group reduction uses the
+    indicator-matmul trick of ops/pallas_groupnorm.py."""
+
+    sums, sqs = [], []
+    for c0 in range(0, c, _CHUNK):
+        xf = read_chunk(c0, min(c0 + _CHUNK, c))
+        sums.append(jnp.sum(xf, axis=0, keepdims=True))
+        sqs.append(jnp.sum(xf * xf, axis=0, keepdims=True))
+    col_sum = jnp.concatenate(sums, axis=1) if len(sums) > 1 else sums[0]
+    col_sq = jnp.concatenate(sqs, axis=1) if len(sqs) > 1 else sqs[0]
 
     ch = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
     gr = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
@@ -61,84 +78,117 @@ def _group_norm_silu(x, gamma_ref, beta_ref, groups: int, n_valid: int,
     sq_g = jax.lax.dot_general(col_sq, ind, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32) / n
     rstd_g = jax.lax.rsqrt(sq_g - mean_g * mean_g + eps)
-    mean_c = jax.lax.dot_general(mean_g, ind.T, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    rstd_c = jax.lax.dot_general(rstd_g, ind.T, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    gamma = gamma_ref[0].astype(jnp.float32)
-    beta = beta_ref[0].astype(jnp.float32)
-    y = (xf - mean_c) * (rstd_c * gamma) + beta
-    return y * jax.nn.sigmoid(y)
+    return mean_g, rstd_g
 
 
-def _conv3x3(y, w_ref, b_ref, w_width: int, n_valid: int):
-    """3x3 SAME conv over the flattened [HWp, Cin] slab (pad rows zero).
+def _conv3x3_gn(read_chunk, gam_ref, bet_ref, mean_g, rstd_g, cin: int,
+                w_ref, b_ref, groups: int, w_width: int, hwp: int,
+                n_valid: int, mxu_dtype):
+    """Fused (GroupNorm + SiLU + 3x3 SAME conv) over the flattened [HWp, C]
+    slab (pad rows zero).
 
-    ``w_ref`` is [9*Cin, Cout] tap-major ((dh, dw) in row-major order).
+    GN+SiLU is elementwise once the stats are known, so the shifted
+    normalized slab equals the normalization of the shifted source — the
+    taps roll y = silu(gn(src)) directly. Mosaic's sublane rotate only
+    exists for 32-bit data, so y is built per 128-lane chunk in fp32
+    (chunk-outer / tap-inner keeps one [HWp, 128] fp32 working set live
+    instead of a full fp32 slab), rolled, masked, and cast to
+    ``mxu_dtype`` for the MXU matmul.
+
+    ``read_chunk(c0, ce)`` returns the fp32 source lane-chunk (a fresh ref
+    load — see the layout note above); ``gam_ref``/``bet_ref`` are
+    [ceil(C/128), 128] row-chunked affine params; per-chunk mean/rstd rows
+    come from [1, G] @ chunk-indicator dots so every broadcast source is
+    offset-0. ``w_ref`` is [9*Cin, Cout] tap-major ((dh, dw) row-major).
     Returns fp32 [HWp, Cout] with pad rows zeroed."""
 
-    hwp, cin = y.shape
     cout = w_ref.shape[-1]
+    gsize = cin // groups
     row = jax.lax.broadcasted_iota(jnp.int32, (hwp, 1), 0)
     wcol = jax.lax.rem(row, w_width)
     acc = jnp.zeros((hwp, cout), jnp.float32)
-    t = 0
-    for dh in (-1, 0, 1):
-        for dw in (-1, 0, 1):
-            s = dh * w_width + dw
-            # circular roll so ys[i] = y[i+s]; pltpu.roll wants shift >= 0
-            ys = pltpu.roll(y, (-s) % hwp, axis=0) if s != 0 else y
-            src = row + s
-            # given 0 <= wcol+dw < W, src in [0, HW) <=> 0 <= h+dh < H
-            ok = ((src >= 0) & (src < n_valid)
-                  & (wcol + dw >= 0) & (wcol + dw < w_width))
-            ys = jnp.where(ok, ys, 0)
-            acc = acc + jax.lax.dot_general(
-                ys, w_ref[t * cin:(t + 1) * cin, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            t += 1
+    for k, c0 in enumerate(range(0, cin, _CHUNK)):
+        ce = min(c0 + _CHUNK, cin)
+        cw = ce - c0
+        # per-chunk stat rows via fresh dots: [1, G] @ [G, cw] -> [1, cw]
+        ch = jax.lax.broadcasted_iota(jnp.int32, (groups, cw), 1) + c0
+        gr = jax.lax.broadcasted_iota(jnp.int32, (groups, cw), 0)
+        ind_c = (ch // gsize == gr).astype(jnp.float32)
+        m_c = jax.lax.dot_general(mean_g, ind_c, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        r_c = jax.lax.dot_general(rstd_g, ind_c, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        gam = gam_ref[k][:cw].astype(jnp.float32)   # fresh 1-D loads
+        bet = bet_ref[k][:cw].astype(jnp.float32)
+        scale = r_c * gam
+        shift = bet - m_c * scale
+        y = read_chunk(c0, ce) * scale + shift
+        y = y * jax.nn.sigmoid(y)
+        t = 0
+        for dh in (-1, 0, 1):
+            for dw in (-1, 0, 1):
+                s = dh * w_width + dw
+                # circular roll: ys[i] = y[i+s]; pltpu.roll wants shift >= 0
+                ys = pltpu.roll(y, (-s) % hwp, axis=0) if s != 0 else y
+                src_row = row + s
+                # given 0 <= wcol+dw < W, src in [0, HW) <=> 0 <= h+dh < H
+                ok = ((src_row >= 0) & (src_row < n_valid)
+                      & (wcol + dw >= 0) & (wcol + dw < w_width))
+                ys = jnp.where(ok, ys, 0).astype(mxu_dtype)
+                acc = acc + jax.lax.dot_general(
+                    ys, w_ref[t * cin + c0:t * cin + ce, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                t += 1
     acc = acc + b_ref[0].astype(jnp.float32)
     return jnp.where(row < n_valid, acc, 0.0)
 
 
 def _kernel(x_ref, temb_ref, g1_ref, b1_ref, w1_ref, wb1_ref, g2_ref, b2_ref,
-            w2_ref, wb2_ref, wsc_ref, bsc_ref, o_ref, *,
+            w2_ref, wb2_ref, wsc_ref, bsc_ref, o_ref, h_scr, *,
             groups: int, w_width: int, n_valid: int, eps: float,
             has_temb: bool, has_sc: bool):
-    x = x_ref[0]  # [HWp, Cin], pad rows zero
-    dt = x.dtype
+    dt = o_ref.dtype
+    hwp, cin = x_ref.shape[1], x_ref.shape[2]
+    cout = o_ref.shape[2]
 
-    y1 = _group_norm_silu(x, g1_ref, b1_ref, groups, n_valid, eps).astype(dt)
-    h = _conv3x3(y1, w1_ref, wb1_ref, w_width, n_valid)
+    read_x = lambda c0, ce: x_ref[0, :, c0:ce].astype(jnp.float32)
+    m1, r1 = _gn_group_stats(read_x, cin, groups, n_valid, eps)
+    h = _conv3x3_gn(read_x, g1_ref, b1_ref, m1, r1, cin, w1_ref, wb1_ref,
+                    groups, w_width, hwp, n_valid, dt)
     if has_temb:
-        h = h + temb_ref[0].astype(jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h.shape[0], 1), 0)
-    h = jnp.where(row < n_valid, h, 0.0)
+        h = h + temb_ref[0, 0].astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (hwp, 1), 0)
+    # match the XLA module: conv outputs live in the compute dtype (bf16);
+    # staging h through VMEM scratch makes phase-2 chunk reads fresh loads
+    h_scr[:, :] = jnp.where(row < n_valid, h, 0.0).astype(dt)
 
-    y2 = _group_norm_silu(h.astype(dt), g2_ref, b2_ref, groups, n_valid,
-                          eps).astype(dt)
-    out = _conv3x3(y2, w2_ref, wb2_ref, w_width, n_valid)
+    read_h = lambda c0, ce: h_scr[:, c0:ce].astype(jnp.float32)
+    m2, r2 = _gn_group_stats(read_h, cout, groups, n_valid, eps)
+    out = _conv3x3_gn(read_h, g2_ref, b2_ref, m2, r2, cout, w2_ref, wb2_ref,
+                      groups, w_width, hwp, n_valid, dt)
 
     if has_sc:
         sc = jax.lax.dot_general(
-            x, wsc_ref[:, :], (((1,), (0,)), ((), ())),
+            x_ref[0], wsc_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bsc_ref[0].astype(jnp.float32)
     else:
-        sc = x.astype(jnp.float32)
+        sc = x_ref[0].astype(jnp.float32)
     o_ref[0] = (out + sc).astype(o_ref.dtype)
 
 
-# whole-slab budget: x + y1 + h(fp32) + y2 + out + weights, double-buffered
-# input. Conservative ceiling keeps the L0 [4000, 384] slab OFF this kernel
-# unless measurement says otherwise (see fused_resnet_fits).
-_VMEM_BUDGET = 12 * 1024 * 1024
+# live-peak budget out of the 16 MB scoped VMEM (2 MB headroom): x block
+# (double-buffered bf16), the chunked fp32 GN+roll working set (y, rolled
+# copy, one transient — 3 x [HWp, 128] fp32), h in bf16 + one fp32 conv
+# accumulator, double-buffered bf16 output, and the resident weights.
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def fused_resnet_fits(h: int, w: int, c_in: int, c_out: int,
                       itemsize: int = 2) -> bool:
     hw = _round_up(h * w, 8)
-    slabs = hw * (2 * c_in + 2 * c_out) * itemsize   # x, y1 (bf16) + y2, out
-    slabs += hw * c_out * 4                          # h fp32 accumulator
+    slabs = hw * (2 * 2 * c_in + 3 * 4 * _CHUNK
+                  + (4 + 2 + 2 * 2) * c_out) * itemsize // 2
     weights = (9 * c_in * c_out + 9 * c_out * c_out + c_in * c_out) * itemsize
     return slabs + weights <= _VMEM_BUDGET
 
@@ -174,9 +224,24 @@ def fused_resnet_block(
     wsc = cast(sc_w).reshape(c_in, c_out) if has_sc else jnp.zeros((8, 128), dt)
     bsc = cast(sc_b).reshape(1, c_out) if has_sc else jnp.zeros((1, 128), dt)
     has_temb = temb is not None
-    tb = cast(temb) if has_temb else jnp.zeros((b, c_out), dt)
+    # [B, 1, C]: the grid-blocked dim must be leading so the block's last two
+    # dims (1, C) satisfy Mosaic's sublane/lane divisibility rule.
+    tb = (cast(temb) if has_temb else jnp.zeros((b, c_out), dt)).reshape(
+        b, 1, c_out)
 
-    vec_in = pl.BlockSpec((1, c_in), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    def rows(v, c):
+        # GN affine params as [ceil(C/128), 128] so the kernel's per-chunk
+        # gamma/beta are whole-row 1-D ref loads (offset-0; see layout note)
+        nc = (c + _CHUNK - 1) // _CHUNK
+        if nc > 1:
+            assert c % _CHUNK == 0, "multi-chunk channels must be 128-aligned"
+            return cast(v).reshape(nc, _CHUNK)
+        return cast(v).reshape(1, c)
+
+    g1r, b1r = rows(gn1_scale, c_in), rows(gn1_bias, c_in)
+    g2r, b2r = rows(gn2_scale, c_out), rows(gn2_bias, c_out)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
     vec_out = pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
@@ -185,11 +250,11 @@ def fused_resnet_block(
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hwp, c_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            vec_in, vec_in,
+            pl.BlockSpec((1, 1, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full(g1r), full(b1r),
             pl.BlockSpec((9 * c_in, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
             vec_out,
-            vec_out, vec_out,
+            full(g2r), full(b2r),
             pl.BlockSpec((9 * c_out, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
             vec_out,
             pl.BlockSpec(wsc.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -197,11 +262,10 @@ def fused_resnet_block(
         ],
         out_specs=pl.BlockSpec((1, hwp, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hwp, c_out), dt),
+        scratch_shapes=[pltpu.VMEM((hwp, c_out), dt)],
         interpret=interpret,
-    )(xp, tb, cast(gn1_scale).reshape(1, c_in), cast(gn1_bias).reshape(1, c_in),
-      w1, cast(conv1_b).reshape(1, c_out),
-      cast(gn2_scale).reshape(1, c_out), cast(gn2_bias).reshape(1, c_out),
-      w2, cast(conv2_b).reshape(1, c_out), wsc, bsc)
+    )(xp, tb, g1r, b1r, w1, cast(conv1_b).reshape(1, c_out),
+      g2r, b2r, w2, cast(conv2_b).reshape(1, c_out), wsc, bsc)
     return out[:, :hw].reshape(b, h, w, c_out)
 
 

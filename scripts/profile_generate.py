@@ -38,7 +38,7 @@ def main() -> None:
     if _os.environ.get("AP_USE_PALLAS_GN") == "1":
         config = config.replace(
             unet=dataclasses.replace(config.unet, use_pallas_groupnorm=True))
-    if _os.environ.get("AP_USE_PALLAS_RESNET", "1") == "1":
+    if _os.environ.get("AP_USE_PALLAS_RESNET", "0") == "1":
         config = config.replace(
             unet=dataclasses.replace(config.unet, use_pallas_resnet=True))
     pipe = AudioLDM2Pipeline.from_random(config, seed=0)
