@@ -38,6 +38,17 @@ def _native_lib():
                     ctypes.c_int64,
                 ]
                 lib.wavio_read_f32.restype = ctypes.c_int64
+                lib.wavio_read_batch_f32.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int32,
+                ]
+                lib.wavio_read_batch_f32.restype = ctypes.c_int32
                 _NATIVE = lib
             except OSError:
                 _NATIVE = False
@@ -83,6 +94,52 @@ def load_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
     if data.ndim == 2:
         data = data.mean(axis=1) if mono else data.T
     return data, int(sr_)
+
+
+def load_wav_batch(
+    paths, capacity: int, n_threads: int = 4
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a batch of wavs in parallel worker threads (native C++ pool).
+
+    Returns ``(wavs [n, capacity] float32 mono zero-padded, frames [n]
+    decoded pre-pad lengths, sample_rates [n])``. Falls back to sequential
+    :func:`load_wav` when the native library isn't built. Mirrors the
+    reference's torchaudio decode in ``--dataloader_num_workers`` worker
+    processes (train_apadapter_v2.py:253-256); resampling stays upstream.
+    """
+
+    paths = list(paths)
+    n = len(paths)
+    out = np.zeros((n, capacity), dtype=np.float32)
+    frames = np.zeros(n, dtype=np.int64)
+    srs = np.zeros(n, dtype=np.int32)
+
+    lib = _native_lib()
+    if lib is not None and hasattr(lib, "wavio_read_batch_f32") and n:
+        status = np.zeros(n, dtype=np.int32)
+        c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        lib.wavio_read_batch_f32(
+            c_paths,
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            capacity,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_threads,
+        )
+        bad = np.nonzero(status < 0)[0]
+    else:
+        bad = range(n)
+
+    for i in bad:  # scipy fallback, per file
+        wav, sr = load_wav(paths[i])
+        m = min(wav.shape[-1], capacity)
+        out[i, :m] = wav[:m]
+        out[i, m:] = 0.0
+        frames[i] = m
+        srs[i] = sr
+    return out, frames, srs
 
 
 def save_wav(path: str, waveform: np.ndarray, sample_rate: int = 16_000) -> None:

@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="", help="converted model params dir")
     p.add_argument("--output-dir", default="ap_adapter_output")
     p.add_argument("--train-batch-size", type=int, default=8)
+    p.add_argument("--dataloader-prefetch", type=int, default=2,
+                   help="background-thread prefetch depth (0 disables); the "
+                        "reference's --dataloader_num_workers analogue")
     p.add_argument("--gradient-accumulation-steps", type=int, default=4)
     p.add_argument("--learning-rate", type=float, default=1e-4)
     p.add_argument("--lr-scheduler", default="constant",
@@ -122,6 +125,10 @@ def main(argv=None):
     modules = pipe.modules
     collate = DeviceCollate(modules, pipe.params, duration_s=args.duration, seed=args.seed)
     batches = data_loader(dataset, args.train_batch_size, collate, seed=args.seed)
+    if args.dataloader_prefetch > 0:
+        from ap_adapter_tpu.train.data import prefetch
+
+        batches = prefetch(batches, depth=args.dataloader_prefetch)
 
     validation_fn = None
     if not args.no_validation:

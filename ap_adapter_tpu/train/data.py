@@ -22,7 +22,7 @@ import numpy as np
 
 from ap_adapter_tpu.audio.dsp import resample
 from ap_adapter_tpu.audio.fbank import audiomae_fbank
-from ap_adapter_tpu.audio.io import load_wav
+from ap_adapter_tpu.audio.io import load_wav, load_wav_batch
 from ap_adapter_tpu.audio.mel import wav_to_vae_mel
 from ap_adapter_tpu.pipeline.pipeline import PipelineModules, TextBatch
 from ap_adapter_tpu.pipeline.tokenize import HFTokenizers, make_text_batch
@@ -82,11 +82,36 @@ class AudioSetDataset:
         else:
             wav = wav[:target]
 
+        return self._caption(item), wav.astype(np.float32)
+
+    def _caption(self, item) -> str:
         labels = item.get("labels") or item.get("caption") or ""
         if isinstance(labels, (list, tuple)):
             labels = ", ".join(str(x) for x in labels)
-        text = self.rng.choice(AUDIOSET_TEMPLATES_SMALL).format(labels)
-        return text, wav.astype(np.float32)
+        return self.rng.choice(AUDIOSET_TEMPLATES_SMALL).format(labels)
+
+    def get_batch(self, idxs: Sequence[int]) -> list:
+        """Batched __getitem__: decodes all wavs in one native thread-pool
+        call (audio/io.py::load_wav_batch), then resamples/pads per clip.
+        Decode is capped at duration_s x 48 kHz frames — identical results
+        for files at <= 48 kHz (enough pre-resample material either way)."""
+
+        items = [self.items[i] for i in idxs]
+        paths = [os.path.join(self.data_root, it["wav"]) for it in items]
+        cap = int(self.duration_s * 48_000)
+        wavs, frames, srs = load_wav_batch(paths, cap)
+        target = int(self.duration_s * self.sample_rate)
+        out = []
+        for i, item in enumerate(items):
+            wav, sr = wavs[i, : frames[i]], int(srs[i])
+            if sr != self.sample_rate and sr > 0:
+                wav = np.asarray(resample(jnp.asarray(wav), sr, self.sample_rate))
+            if wav.shape[-1] < target:
+                wav = np.pad(wav, (0, target - wav.shape[-1]))
+            else:
+                wav = wav[:target]
+            out.append((self._caption(item), wav.astype(np.float32)))
+        return out
 
 
 class DeviceCollate:
@@ -166,7 +191,9 @@ class DeviceCollate:
 
 def data_loader(dataset: AudioSetDataset, batch_size: int, collate: DeviceCollate,
                 shuffle: bool = True, seed: int = 0):
-    """Simple epoch-looping host loader (no torch DataLoader dependency)."""
+    """Epoch-looping host loader (no torch DataLoader dependency): native
+    thread-pool decode per batch (AudioSetDataset.get_batch); wrap with
+    :func:`prefetch` to overlap host work with device steps."""
 
     order_rng = random.Random(seed)
     while True:
@@ -174,4 +201,36 @@ def data_loader(dataset: AudioSetDataset, batch_size: int, collate: DeviceCollat
         if shuffle:
             order_rng.shuffle(idxs)
         for i in range(0, len(idxs) - batch_size + 1, batch_size):
-            yield collate([dataset[j] for j in idxs[i : i + batch_size]])
+            yield collate(dataset.get_batch(idxs[i : i + batch_size]))
+
+
+def prefetch(batches, depth: int = 2):
+    """Runs the loader (decode + resample + device collate) in a background
+    thread with a bounded queue, overlapping host data work with the device
+    train step — the role the reference's ``--dataloader_num_workers``
+    processes play (train_apadapter_v2.py:253-256). The host stages release
+    the GIL (C++ decode pool, numpy, jitted collate), so one thread gives
+    true overlap; ``depth`` bounds device-memory-holding batches in flight."""
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def run():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(done)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=run, daemon=True, name="ap-data-prefetch").start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -9,9 +9,13 @@
 //
 // Build: make -C native   (produces libwavio.so)
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -68,6 +72,90 @@ bool parse_header(Reader& r, WavInfo* info) {
     }
   }
   return false;
+}
+
+// Converts one sample at `b` to float in [-1, 1]; returns NaN-free 0 on
+// unsupported layouts (callers pre-validate format/bits).
+inline float sample_to_f32(const uint8_t* b, uint16_t format, uint16_t bits) {
+  if (format == 3 && bits == 32) {
+    float v;
+    memcpy(&v, b, 4);
+    return v;
+  }
+  if (format == 3 && bits == 64) {
+    double d;
+    memcpy(&d, b, 8);
+    return static_cast<float>(d);
+  }
+  switch (bits) {
+    case 16: {
+      int16_t v;
+      memcpy(&v, b, 2);
+      return static_cast<float>(v) / 32768.0f;
+    }
+    case 32: {
+      int32_t v;
+      memcpy(&v, b, 4);
+      return static_cast<float>(v) / 2147483648.0f;
+    }
+    case 24: {
+      int32_t v = (b[0] << 8) | (b[1] << 16) | (b[2] << 24);
+      return static_cast<float>(v >> 8) / 8388608.0f;
+    }
+    case 8:
+      return (static_cast<float>(*b) - 128.0f) / 128.0f;
+    default:
+      return 0.0f;
+  }
+}
+
+// Streams one file as mono (channel mean) into dst[0..capacity), zero-padding
+// the tail. Writes the decoded (pre-pad) frame count and the file's sample
+// rate. Returns 0 on success, <0 on error (dst is zero-filled on error).
+int32_t read_mono_into(const char* path, float* dst, int64_t capacity,
+                       int64_t* frames_out, int32_t* sr_out) {
+  std::fill(dst, dst + capacity, 0.0f);
+  *frames_out = 0;
+  *sr_out = 0;
+  Reader r;
+  r.f = fopen(path, "rb");
+  if (!r.f) return -1;
+  WavInfo info;
+  if (!parse_header(r, &info) || info.channels == 0 || info.bits == 0)
+    return -2;
+  if (info.format != 1 && info.format != 3) return -3;
+  const uint32_t bps = info.bits / 8;
+  const size_t frame_bytes = static_cast<size_t>(bps) * info.channels;
+  if (frame_bytes == 0) return -2;
+  const int64_t frames = static_cast<int64_t>(info.data_bytes / frame_bytes);
+  const int64_t nf = std::min(frames, capacity);
+  if (fseek(r.f, info.data_offset, SEEK_SET) != 0) return -4;
+
+  constexpr size_t kChunk = 1 << 16;
+  uint8_t buf[kChunk];
+  const int64_t frames_per_chunk =
+      static_cast<int64_t>(kChunk / frame_bytes);
+  const float ch_scale = 1.0f / static_cast<float>(info.channels);
+  int64_t done = 0;
+  while (done < nf) {
+    const int64_t want = std::min(nf - done, frames_per_chunk);
+    const size_t got =
+        fread(buf, 1, static_cast<size_t>(want) * frame_bytes, r.f);
+    const int64_t fw = static_cast<int64_t>(got / frame_bytes);
+    if (fw == 0) break;
+    const uint8_t* p = buf;
+    for (int64_t i = 0; i < fw; ++i) {
+      float acc = 0.0f;
+      for (uint32_t c = 0; c < info.channels; ++c)
+        acc += sample_to_f32(p + c * bps, info.format, info.bits);
+      dst[done + i] = acc * ch_scale;
+      p += frame_bytes;
+    }
+    done += fw;
+  }
+  *frames_out = done;
+  *sr_out = static_cast<int32_t>(info.sample_rate);
+  return 0;
 }
 
 }  // namespace
@@ -153,6 +241,38 @@ int64_t wavio_read_f32(const char* path, float* out, int64_t out_len) {
     written += samples;
   }
   return written;
+}
+
+// Decodes `n` wav files into a [n, capacity] float32 matrix using a worker
+// thread pool: each row is mono (channel mean), zero-padded past the file's
+// end. `frames[i]` gets the decoded (pre-pad) frame count, `sample_rates[i]`
+// the file's rate, `status[i]` 0 on success / <0 per read_mono_into.
+// Resampling stays upstream (the polyphase path is the numerical contract).
+// This is the native analogue of the reference's torchaudio decode in
+// `--dataloader_num_workers` worker processes (train_apadapter_v2.py:253-256):
+// threads instead of processes, since decode releases no Python state here.
+int32_t wavio_read_batch_f32(const char* const* paths, int32_t n, float* out,
+                             int64_t capacity, int64_t* frames,
+                             int32_t* sample_rates, int32_t* status,
+                             int32_t n_threads) {
+  if (n <= 0) return 0;
+  int32_t workers = n_threads > 0 ? n_threads : 4;
+  workers = std::min(workers, n);
+  std::atomic<int32_t> next{0};
+  auto work = [&]() {
+    for (;;) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      status[i] = read_mono_into(paths[i], out + static_cast<int64_t>(i) * capacity,
+                                 capacity, &frames[i], &sample_rates[i]);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(workers - 1);
+  for (int32_t t = 1; t < workers; ++t) pool.emplace_back(work);
+  work();
+  for (auto& th : pool) th.join();
+  return 0;
 }
 
 }  // extern "C"

@@ -84,6 +84,70 @@ def test_dataset_and_collate(tmp_path, rng):
     assert np.all(np.isfinite(np.asarray(batch["mel"])))
 
 
+def test_load_wav_batch_matches_sequential(tmp_path, rng):
+    """Native thread-pool batch decode == per-file load_wav (mono mean,
+    zero-padded), incl. a stereo file and a non-16k rate."""
+
+    from scipy.io import wavfile
+    from ap_adapter_tpu.audio.io import load_wav, load_wav_batch
+
+    specs = [(16000, 12000, 1), (16000, 20000, 2), (22050, 8000, 1)]
+    paths = []
+    for i, (sr, n, ch) in enumerate(specs):
+        p = str(tmp_path / f"b{i}.wav")
+        data = (rng.standard_normal((n, ch)).squeeze() * 8000).astype(np.int16)
+        wavfile.write(p, sr, data)
+        paths.append(p)
+
+    cap = 16000
+    wavs, frames, srs = load_wav_batch(paths, cap, n_threads=2)
+    assert wavs.shape == (3, cap)
+    for i, p in enumerate(paths):
+        ref, ref_sr = load_wav(p)
+        m = min(ref.shape[-1], cap)
+        assert srs[i] == ref_sr and frames[i] == m
+        np.testing.assert_allclose(wavs[i, :m], ref[:m], atol=1e-6)
+        assert np.all(wavs[i, m:] == 0.0)
+
+
+def test_get_batch_matches_getitem(tmp_path, rng):
+    """Batched dataset decode path == item path (same resample/pad/cut)."""
+
+    from scipy.io import wavfile
+
+    items = []
+    for i, (sr, n) in enumerate([(16000, 12000), (22050, 30000)]):
+        p = tmp_path / f"g{i}.wav"
+        wavfile.write(str(p), sr, (rng.standard_normal(n) * 8000).astype(np.int16))
+        items.append({"wav": str(p), "labels": f"x {i}"})
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({"data": items}))
+
+    a = AudioSetDataset(str(manifest), duration_s=1.0, seed=0)
+    b = AudioSetDataset(str(manifest), duration_s=1.0, seed=0)
+    batch = b.get_batch([0, 1])
+    for i in range(2):
+        text, wav = a[i]
+        text_b, wav_b = batch[i]
+        assert text == text_b  # same caption rng consumption order
+        np.testing.assert_allclose(wav, wav_b, atol=1e-6)
+
+
+def test_prefetch_order_and_error_propagation():
+    from ap_adapter_tpu.train.data import prefetch
+
+    assert list(prefetch(iter(range(7)), depth=2)) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("loader failed")
+
+    it = prefetch(boom(), depth=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="loader failed"):
+        list(it)
+
+
 def test_save_load_params_roundtrip(tmp_path):
     cfg = tiny_pipeline_config()
     modules = PipelineModules(cfg)
