@@ -144,12 +144,22 @@ int32_t read_mono_into(const char* path, float* dst, int64_t capacity,
     const int64_t fw = static_cast<int64_t>(got / frame_bytes);
     if (fw == 0) break;
     const uint8_t* p = buf;
-    for (int64_t i = 0; i < fw; ++i) {
-      float acc = 0.0f;
-      for (uint32_t c = 0; c < info.channels; ++c)
-        acc += sample_to_f32(p + c * bps, info.format, info.bits);
-      dst[done + i] = acc * ch_scale;
-      p += frame_bytes;
+    if (info.channels == 1 && info.bits == 16 && info.format == 1) {
+      for (int64_t i = 0; i < fw; ++i) {  // dominant case: mono PCM16
+        int16_t v;
+        memcpy(&v, p + i * 2, 2);
+        dst[done + i] = static_cast<float>(v) / 32768.0f;
+      }
+    } else if (info.channels == 1 && info.bits == 32 && info.format == 3) {
+      memcpy(dst + done, p, static_cast<size_t>(fw) * 4);
+    } else {
+      for (int64_t i = 0; i < fw; ++i) {
+        float acc = 0.0f;
+        for (uint32_t c = 0; c < info.channels; ++c)
+          acc += sample_to_f32(p + c * bps, info.format, info.bits);
+        dst[done + i] = acc * ch_scale;
+        p += frame_bytes;
+      }
     }
     done += fw;
   }
