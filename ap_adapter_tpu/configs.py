@@ -251,6 +251,11 @@ class UNetConfig:
     # fully-fused resnet block kernel (ops/pallas_resnet.py): both GN+SiLU
     # passes + both 3x3 convs + temb + shortcut in one VMEM-resident kernel
     use_pallas_resnet: bool = False
+    # int8 W8A8 serving mode (ops/pallas_int8.py): int8 matmuls in the fused
+    # FF and self-attention kernels (projections + QK; PV stays bf16 —
+    # softmax probs don't fit an int8 grid). Inference-only: the int8
+    # kernels define no VJP, so the trainer must never set this.
+    use_int8: bool = False
     # rematerialize each resnet/attention group in the backward pass —
     # shrinks the fwd+bwd graph and activation memory so the full-scale
     # train step compiles on TPU (the training CLI turns this on; pure

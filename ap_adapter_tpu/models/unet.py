@@ -97,6 +97,7 @@ class AudioLDM2UNet(nn.Module):
                 adapter_dim=c.adapter_cross_attention_dim,
                 num_ip_tokens=c.adapter_num_tokens,
                 use_pallas=c.use_pallas_attention,
+                use_int8=c.use_int8,
                 groups=groups,
                 scan_unroll=c.scan_unroll,
                 dtype=self.dtype,

@@ -281,6 +281,7 @@ class CrossAttention(nn.Module):
     use_adapter: bool = False
     num_ip_tokens: int = 8
     use_pallas: bool = False
+    use_int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -316,6 +317,19 @@ class CrossAttention(nn.Module):
             and inner == c_in and self.out_dim == c_in
             and _on_tpu()
         )
+        if fused_ok and self.use_int8:
+            # W8A8 serving mode (inference-only — no VJP is defined):
+            # int8 projections + int8 QK, bf16 PV (ops/pallas_int8.py)
+            from ap_adapter_tpu.ops.pallas_int8 import fused_ln_self_attention_int8
+
+            scale, bias = pre_ln
+            return fused_ln_self_attention_int8(
+                x, scale, bias,
+                jnp.asarray(wq, self.dtype), jnp.asarray(wk, self.dtype),
+                jnp.asarray(wv, self.dtype), jnp.asarray(wo, self.dtype),
+                jnp.asarray(bo, self.dtype), self.heads, 1e-5,
+                _fused_block_tile_q(n, inner, self.heads),
+            )
         if fused_ok:
             from ap_adapter_tpu.ops.pallas_fused_block import fused_ln_self_attention_vjp
 
@@ -417,6 +431,7 @@ class FeedForward(nn.Module):
 
     dim: int
     mult: int = 4
+    use_int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -428,6 +443,20 @@ class FeedForward(nn.Module):
 
         if pre_ln is not None and inner % 128 == 0 and c_in % 128 == 0 \
                 and self.dim == c_in and _on_tpu():
+            if self.use_int8:
+                # W8A8 serving mode (inference-only): both GEGLU matmuls in
+                # int8 with dynamic per-row activation scales
+                from ap_adapter_tpu.ops.pallas_int8 import (
+                    ff_int8_tile_q, fused_ln_geglu_ff_int8)
+
+                if ff_int8_tile_q(x.shape[1], c_in, inner) > 0:
+                    scale, bias = pre_ln
+                    return fused_ln_geglu_ff_int8(
+                        x, scale, bias,
+                        jnp.asarray(w1, self.dtype), jnp.asarray(b1, self.dtype),
+                        jnp.asarray(w2, self.dtype), jnp.asarray(b2, self.dtype),
+                        1e-5, ff_int8_tile_q(x.shape[1], c_in, inner),
+                    )
             from ap_adapter_tpu.ops.pallas_fused_ff import ff_tile_q, fused_ln_geglu_ff_vjp
 
             if ff_tile_q(x.shape[1], c_in, inner) > 0:
@@ -460,6 +489,7 @@ class BasicTransformerBlock(nn.Module):
     use_adapter: bool = False
     num_ip_tokens: int = 8
     use_pallas: bool = False
+    use_int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -475,7 +505,8 @@ class BasicTransformerBlock(nn.Module):
         # into one Pallas kernel (ops/pallas_fused_block.py)
         ln1 = LayerNormParams(self.dim, name="norm1")()
         x = CrossAttention(
-            self.heads, self.dim_head, self.dim, dtype=self.dtype, name="attn1"
+            self.heads, self.dim_head, self.dim, use_int8=self.use_int8,
+            dtype=self.dtype, name="attn1",
         )(x, pre_ln=ln1)
 
         ln2 = LayerNormParams(self.dim, name="norm2")()
@@ -483,13 +514,14 @@ class BasicTransformerBlock(nn.Module):
         x = CrossAttention(
             self.heads, self.dim_head, self.dim,
             use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, use_int8=self.use_int8,
             dtype=self.dtype, name="attn2",
         )(x, context=ctx, mask_bias=context_mask_bias if ctx is not None else None,
           ip_scale=ip_scale, pre_ln=ln2)
 
         ln3 = LayerNormParams(self.dim, name="norm3")()
-        return FeedForward(self.dim, dtype=self.dtype, name="ff")(x, pre_ln=ln3)
+        return FeedForward(self.dim, use_int8=self.use_int8, dtype=self.dtype,
+                           name="ff")(x, pre_ln=ln3)
 
 
 class _ScanTransformerBlock(BasicTransformerBlock):
@@ -520,6 +552,7 @@ class Transformer2DModel(nn.Module):
     use_adapter: bool = False
     num_ip_tokens: int = 8
     use_pallas: bool = False
+    use_int8: bool = False
     groups: int = 32
     scan_unroll: int = 1
     dtype: Any = jnp.float32
@@ -552,7 +585,7 @@ class Transformer2DModel(nn.Module):
             inner, self.heads, self.dim_head,
             cross_attention_dim=self.cross_attention_dim,
             use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, use_int8=self.use_int8,
             dtype=self.dtype, name="transformer_blocks",
         )
         y, _ = blocks(y, context, context_mask_bias, ip_scale)
@@ -574,6 +607,7 @@ class AttentionGroup(nn.Module):
     adapter_dim: Optional[int] = None
     num_ip_tokens: int = 8
     use_pallas: bool = False
+    use_int8: bool = False
     groups: int = 32
     scan_unroll: int = 1
     dtype: Any = jnp.float32
@@ -601,7 +635,7 @@ class AttentionGroup(nn.Module):
                 cross_attention_dim=dim,
                 use_adapter=(dim is not None and dim == self.adapter_dim),
                 num_ip_tokens=self.num_ip_tokens,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, use_int8=self.use_int8,
                 groups=self.groups, scan_unroll=self.scan_unroll,
                 dtype=self.dtype, name=f"attentions_{idx}",
             )(x, context, bias, ip_scale)

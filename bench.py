@@ -55,6 +55,11 @@ def main() -> None:
 
         config = config.replace(
             unet=dataclasses.replace(config.unet, use_pallas_groupnorm=True))
+    if _os.environ.get("AP_INT8", "0") == "1":  # A/B the int8 serving mode
+        import dataclasses
+
+        config = config.replace(
+            unet=dataclasses.replace(config.unet, use_int8=True))
     if _os.environ.get("AP_USE_PALLAS_RESNET", "0") == "1":  # A/B: =1 enables
         # measured 2.156 vs 2.227 clips/s at batch 24 (docs/PERF.md r3):
         # the fused resnet block kernel loses ~3% in-pipeline — default off
