@@ -318,16 +318,26 @@ class CrossAttention(nn.Module):
             and _on_tpu()
         )
         if fused_ok and self.use_int8:
-            # W8A8 serving mode (inference-only — no VJP is defined):
-            # int8 projections + int8 QK, bf16 PV (ops/pallas_int8.py)
-            from ap_adapter_tpu.ops.pallas_int8 import fused_ln_self_attention_int8
+            # W8A8 serving mode (inference-only — no VJP is defined): int8
+            # q/out projections, everything else bf16 (ops/pallas_int8.py
+            # docstring has the measured shape-by-shape rationale). Weights
+            # are quantized ONCE into the "quant" collection at pipeline
+            # build (pipeline.build_quant_collection) — never in the step.
+            from ap_adapter_tpu.ops.pallas_int8 import (
+                fused_ln_self_attention_int8, quantize_attention_weights)
 
+            qw = self.variable(
+                "quant", "attn_qw",
+                lambda: quantize_attention_weights(
+                    jnp.asarray(wq, jnp.float32), jnp.asarray(wk, jnp.float32),
+                    jnp.asarray(wv, jnp.float32), jnp.asarray(wo, jnp.float32),
+                    self.heads, kv_dtype=self.dtype))
+            wq8, sq, wk_p, wv_p, wo8, so = qw.value
             scale, bias = pre_ln
             return fused_ln_self_attention_int8(
-                x, scale, bias,
-                jnp.asarray(wq, self.dtype), jnp.asarray(wk, self.dtype),
-                jnp.asarray(wv, self.dtype), jnp.asarray(wo, self.dtype),
-                jnp.asarray(bo, self.dtype), self.heads, 1e-5,
+                x, scale, bias, wq8, sq,
+                jnp.asarray(wk_p, self.dtype), jnp.asarray(wv_p, self.dtype),
+                wo8, so, jnp.asarray(bo, self.dtype), self.heads, 1e-5,
                 _fused_block_tile_q(n, inner, self.heads),
             )
         if fused_ok:
@@ -358,6 +368,43 @@ class CrossAttention(nn.Module):
                      and self.num_ip_tokens % 8 == 0))
             and _on_tpu()
         )
+        if fused_cross_ok and self.use_int8:
+            # W8A8 serving mode: the [S,C]-sized q/out projections in int8
+            # (k/v + QK/PV stay bf16 — contexts are tiny). Weights quantized
+            # once into the "quant" collection; ip K/V weights pre-padded
+            # alongside.
+            from ap_adapter_tpu.ops.pallas_int8 import (
+                fused_ln_cross_attention_int8, quantize_attention_weights)
+            from ap_adapter_tpu.ops.pallas_fused_block import (
+                _pad_head_dim, _pad_heads_in)
+
+            qw = self.variable(
+                "quant", "cross_qw",
+                lambda: quantize_attention_weights(
+                    jnp.asarray(wq, jnp.float32), jnp.asarray(wk, jnp.float32),
+                    jnp.asarray(wv, jnp.float32), jnp.asarray(wo, jnp.float32),
+                    self.heads, kv_dtype=self.dtype))
+            wq8, sq, wk_p, wv_p, wo8, so = qw.value
+            wki = wvi = None
+            if self.use_adapter:
+                wki_raw, _ = DenseParams(inner, use_bias=False, name="to_k_ip")(ctx_dim)
+                wvi_raw, _ = DenseParams(inner, use_bias=False, name="to_v_ip")(ctx_dim)
+                d_p = _pad_head_dim(d)
+                if d_p != d:
+                    wki_raw = _pad_heads_in(wki_raw, self.heads, d, d_p)
+                    wvi_raw = _pad_heads_in(wvi_raw, self.heads, d, d_p)
+                wki = jnp.asarray(wki_raw, self.dtype)
+                wvi = jnp.asarray(wvi_raw, self.dtype)
+            mb = mask_bias[:, 0, 0, :] if mask_bias is not None else None
+            scale, bias = pre_ln
+            return fused_ln_cross_attention_int8(
+                x, jnp.asarray(context, self.dtype), scale, bias,
+                wq8, sq, jnp.asarray(wk_p, self.dtype),
+                jnp.asarray(wv_p, self.dtype), wo8, so,
+                jnp.asarray(bo, self.dtype), self.heads,
+                wk_ip=wki, wv_ip=wvi, ip_scale=ip_scale,
+                num_ip_tokens=self.num_ip_tokens, mask_bias=mb, eps=1e-5,
+            )
         if fused_cross_ok:
             from ap_adapter_tpu.ops.pallas_fused_cross import fused_ln_cross_attention_vjp
 
@@ -445,16 +492,22 @@ class FeedForward(nn.Module):
                 and self.dim == c_in and _on_tpu():
             if self.use_int8:
                 # W8A8 serving mode (inference-only): both GEGLU matmuls in
-                # int8 with dynamic per-row activation scales
+                # int8 with dynamic per-row activation scales; weights
+                # quantized once into the "quant" collection
                 from ap_adapter_tpu.ops.pallas_int8 import (
-                    ff_int8_tile_q, fused_ln_geglu_ff_int8)
+                    ff_int8_tile_q, fused_ln_geglu_ff_int8, quantize_weight)
 
                 if ff_int8_tile_q(x.shape[1], c_in, inner) > 0:
+                    qw = self.variable(
+                        "quant", "ff_qw",
+                        lambda: (quantize_weight(jnp.asarray(w1, jnp.float32))
+                                 + quantize_weight(jnp.asarray(w2, jnp.float32))))
+                    w1q, s1, w2q, s2 = qw.value
                     scale, bias = pre_ln
                     return fused_ln_geglu_ff_int8(
-                        x, scale, bias,
-                        jnp.asarray(w1, self.dtype), jnp.asarray(b1, self.dtype),
-                        jnp.asarray(w2, self.dtype), jnp.asarray(b2, self.dtype),
+                        x, scale, bias, w1q, s1,
+                        jnp.asarray(b1, jnp.float32), w2q, s2,
+                        jnp.asarray(b2, jnp.float32),
                         1e-5, ff_int8_tile_q(x.shape[1], c_in, inner),
                     )
             from ap_adapter_tpu.ops.pallas_fused_ff import ff_tile_q, fused_ln_geglu_ff_vjp
@@ -573,7 +626,9 @@ class Transformer2DModel(nn.Module):
         y = y.reshape(b, h * w, inner)
         blocks = nn.scan(
             _ScanTransformerBlock,
-            variable_axes={"params": 0},
+            # "quant": per-block int8 weight copies (serving mode), stacked
+            # [L, ...] exactly like the params they mirror
+            variable_axes={"params": 0, "quant": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.num_layers,

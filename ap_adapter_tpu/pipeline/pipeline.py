@@ -48,6 +48,17 @@ def cast_params_to(params, dtype):
     return jax.tree_util.tree_map(cast, params)
 
 
+def unet_variables(params: Dict[str, Any]) -> Dict[str, Any]:
+    """UNet apply-variables: params plus, in int8 serving mode, the "quant"
+    collection of pre-quantized weights (built once by
+    AudioLDM2Pipeline._build_unet_quant — key "unet_quant")."""
+
+    v = {"params": params["unet"]}
+    if "unet_quant" in params:
+        v["quant"] = params["unet_quant"]
+    return v
+
+
 @flax.struct.dataclass
 class TextBatch:
     """Tokenized prompts (host-side tokenization, padded to fixed lengths)."""
@@ -227,7 +238,7 @@ class PipelineModules:
         def unet_fn(model_in, t):
             ts = jnp.broadcast_to(t.astype(jnp.float32), (model_in.shape[0],))
             return self.unet.apply(
-                {"params": params["unet"]},
+                unet_variables(params),
                 model_in.astype(c.dtype),
                 ts,
                 ehs0,
@@ -267,6 +278,40 @@ class AudioLDM2Pipeline:
             params = jax.device_put(params, device)
         self.params = params
         self._jitted: Dict[Tuple, Any] = {}
+        if config.unet.use_int8 and params and "unet_quant" not in params:
+            # int8 serving mode: quantize the routed UNet weights ONCE here
+            # (one jitted dummy forward with mutable=["quant"]); the step
+            # graph then only reads the int8 copies — no per-step requant
+            self.params = dict(params)
+            self.params["unet_quant"] = self._build_unet_quant(params)
+
+    def _build_unet_quant(self, params) -> Dict[str, Any]:
+        """Run one batch-1 UNet forward at the real latent geometry with the
+        "quant" collection mutable — every routed int8 site writes its
+        quantized weights (models/unet_blocks.py self.variable calls). Real
+        shapes matter: the kernel routing guards are shape-dependent, and a
+        site that doesn't route doesn't create its variables."""
+
+        c = self.config
+        lt = self.latent_time_for_seconds(10.0)
+        lf = c.vocoder.model_in_dim // c.vae.scale_factor
+        sample = jnp.zeros((1, lt, lf, c.unet.in_channels), jnp.float32)
+        ts = jnp.zeros((1,), jnp.float32)
+        ehs0 = jnp.zeros(
+            (1, c.unet.adapter_num_tokens + 8, c.unet.adapter_cross_attention_dim),
+            c.dtype)
+        d1 = [d for d in c.unet.cross_attention_dims if d][-1]
+        ehs1 = jnp.zeros((1, 8, d1), c.dtype)
+        mask1 = jnp.ones((1, 8), jnp.int32)
+
+        @jax.jit
+        def build(p):
+            _, mut = self.modules.unet.apply(
+                {"params": p}, sample, ts, ehs0, ehs1, mask1, ip_scale=0.5,
+                mutable=["quant"])
+            return mut["quant"]
+
+        return build(params["unet"])
 
     @classmethod
     def from_random(

@@ -74,8 +74,10 @@ def sdedit_generate_waveform(
 
     def unet_fn(model_in, t):
         tt = jnp.broadcast_to(t.astype(jnp.float32), (model_in.shape[0],))
+        from ap_adapter_tpu.pipeline.pipeline import unet_variables
+
         return modules.unet.apply(
-            {"params": params["unet"]}, model_in.astype(c.dtype), tt,
+            unet_variables(params), model_in.astype(c.dtype), tt,
             ehs0, t5_hidden, t5_mask, ip_scale=ap_scale,
         )
 

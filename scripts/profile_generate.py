@@ -41,6 +41,9 @@ def main() -> None:
     if _os.environ.get("AP_USE_PALLAS_RESNET", "0") == "1":
         config = config.replace(
             unet=dataclasses.replace(config.unet, use_pallas_resnet=True))
+    if _os.environ.get("AP_INT8", "0") == "1":
+        config = config.replace(
+            unet=dataclasses.replace(config.unet, use_int8=True))
     pipe = AudioLDM2Pipeline.from_random(config, seed=0)
     pos = make_text_batch(config, ["Trumpet solo"] * BATCH, t5_len=64)
     neg = make_text_batch(config, ["low quality"] * BATCH, t5_len=64)

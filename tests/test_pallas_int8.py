@@ -57,8 +57,11 @@ def test_ff_int8_error_class(rng, shape, inner):
     b2 = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
 
     want = np.asarray(_ff_ref(x, ln_s, ln_b, w1, b1, w2, b2, 1e-5))
+    w1q, s1 = pi8.quantize_weight(w1)
+    w2q, s2 = pi8.quantize_weight(w2)
     got = np.asarray(pi8.fused_ln_geglu_ff_int8(
-        x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5, tile_q=64, interpret=True))
+        x, ln_s, ln_b, w1q, s1, b1, w2q, s2, b2, eps=1e-5, tile_q=64,
+        interpret=True))
     # residual passthrough is exact; the ff branch carries the quant error
     branch_rel = _rel(got - np.asarray(x), want - np.asarray(x))
     assert branch_rel < 0.035, branch_rel
@@ -79,8 +82,10 @@ def test_attn_int8_error_class(rng, shape, heads):
     bo = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
 
     want = np.asarray(_attn_ref(x, ln_s, ln_b, *ws, bo, heads, 1e-5))
+    wq8, sq, wk_p, wv_p, wo8, so = pi8.quantize_attention_weights(*ws, heads)
     got = np.asarray(pi8.fused_ln_self_attention_int8(
-        x, ln_s, ln_b, *ws, bo, heads, eps=1e-5, tile_q=64, interpret=True))
+        x, ln_s, ln_b, wq8, sq, wk_p, wv_p, wo8, so, bo, heads, eps=1e-5,
+        tile_q=64, interpret=True))
     branch_rel = _rel(got - np.asarray(x), want - np.asarray(x))
     assert branch_rel < 0.03, branch_rel
 
@@ -99,8 +104,10 @@ def test_attn_int8_diffuse_probs_keep_mass(rng):
     bo = jnp.zeros(c, jnp.float32)
 
     want = np.asarray(_attn_ref(x, ln_s, ln_b, *ws, bo, heads, 1e-5))
+    wq8, sq, wk_p, wv_p, wo8, so = pi8.quantize_attention_weights(*ws, heads)
     got = np.asarray(pi8.fused_ln_self_attention_int8(
-        x, ln_s, ln_b, *ws, bo, heads, eps=1e-5, tile_q=64, interpret=True))
+        x, ln_s, ln_b, wq8, sq, wk_p, wv_p, wo8, so, bo, heads, eps=1e-5,
+        tile_q=64, interpret=True))
     assert _rel(got - np.asarray(x), want - np.asarray(x)) < 0.03
 
 
@@ -110,3 +117,54 @@ def test_quantize_weight_roundtrip(rng):
     assert w8.dtype == jnp.int8 and scale.shape == (1, 256)
     back = np.asarray(w8, np.float32) * np.asarray(scale)
     assert _rel(back, np.asarray(w)) < 0.01
+
+
+def _cross_ref(x, ctx, ln_s, ln_b, wq, wk, wv, wo, bo, heads,
+               wki=None, wvi=None, ip_scale=0.0, num_ip=8, mask_bias=None):
+    b, s, c = x.shape
+    d = c // heads
+    y = nn.LayerNorm(epsilon=1e-5).apply({"params": {"scale": ln_s, "bias": ln_b}}, x)
+    q = (y @ wq).reshape(b, s, heads, d)
+    ctx_t = ctx[:, :num_ip] if wki is not None else ctx
+    k = (ctx_t @ wk).reshape(b, -1, heads, d)
+    v = (ctx_t @ wv).reshape(b, -1, heads, d)
+    mb = None
+    if mask_bias is not None:
+        mb = mask_bias[:, None, None, :]
+    out = sdpa(q, k, v, mask=mb).reshape(b, s, c)
+    if wki is not None:
+        ki = (ctx[:, num_ip:] @ wki).reshape(b, -1, heads, d)
+        vi = (ctx[:, num_ip:] @ wvi).reshape(b, -1, heads, d)
+        out = out + ip_scale * sdpa(q, ki, vi).reshape(b, s, c)
+    return x + out @ wo + bo
+
+
+@pytest.mark.parametrize("adapter", [False, True])
+def test_cross_int8_error_class(rng, adapter):
+    b, s, c, heads, dc = 2, 100, 256, 8, 768
+    sk = 72 if adapter else 64
+    x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((b, sk, dc)).astype(np.float32))
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    wq = jnp.asarray((rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+    wk = jnp.asarray((rng.standard_normal((dc, c)) / np.sqrt(dc)).astype(np.float32))
+    wv = jnp.asarray((rng.standard_normal((dc, c)) / np.sqrt(dc)).astype(np.float32))
+    wo = jnp.asarray((rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+    bo = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    wki = wvi = None
+    ip_scale = 0.0
+    if adapter:
+        wki = jnp.asarray((rng.standard_normal((dc, c)) / np.sqrt(dc)).astype(np.float32))
+        wvi = jnp.asarray((rng.standard_normal((dc, c)) / np.sqrt(dc)).astype(np.float32))
+        ip_scale = 0.5
+
+    want = np.asarray(_cross_ref(x, ctx, ln_s, ln_b, wq, wk, wv, wo, bo,
+                                 heads, wki, wvi, ip_scale))
+    wq8, sq, wk_p, wv_p, wo8, so = pi8.quantize_attention_weights(
+        wq, wk, wv, wo, heads)
+    got = np.asarray(pi8.fused_ln_cross_attention_int8(
+        x, ctx, ln_s, ln_b, wq8, sq, wk_p, wv_p, wo8, so, bo, heads,
+        wk_ip=wki, wv_ip=wvi, ip_scale=ip_scale, num_ip_tokens=8,
+        tile_q=64, interpret=True))
+    assert _rel(got - np.asarray(x), want - np.asarray(x)) < 0.03
