@@ -263,11 +263,12 @@ class UNetConfig:
     remat: bool = False
     # unroll the per-Transformer2DModel nn.scan over its (2) blocks at trace
     # time: params stay STACKED [L, ...] (checkpoint layout unchanged) but
-    # the loop disappears — the 64 length-2 scans cost ~7 ms/step of loop
-    # overhead on the denoise path (docs/PERF.md). Inference default is
-    # fully unrolled; the training CLI sets 1 (the scan's graph dedup is
-    # what keeps the full-scale fwd+bwd compile within service limits).
-    scan_unroll: int = 2
+    # the loop disappears. Measured (docs/PERF.md r3): unroll=2 is +5% at
+    # batch 8 (latency point) but -2% at batch 24 (the throughput point the
+    # bench runs at) — default 1; set 2 for small-batch latency serving.
+    # The training CLI keeps 1 (the scan's graph dedup is what keeps the
+    # full-scale fwd+bwd compile within service limits).
+    scan_unroll: int = 1
     # class embedding (AudioLDM v1: CLAP embedding as "simple_projection"
     # class label concatenated with the time embedding)
     class_embed_dim: Optional[int] = None
