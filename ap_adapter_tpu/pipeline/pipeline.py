@@ -360,8 +360,16 @@ class AudioLDM2Pipeline:
         time_pool: int = 2,
         freq_pool: int = 2,
         seed: int = 0,
+        materialize: bool = True,
     ) -> np.ndarray:
-        """Generate waveforms [B, samples] (trimmed to audio_length_in_s)."""
+        """Generate waveforms [B, samples] (trimmed to audio_length_in_s).
+
+        ``materialize=False`` returns the (untrimmed) device array without
+        forcing the device->host transfer: callers issuing several calls can
+        dispatch them all and materialize at the end, overlapping each call's
+        host-side work (arg marshaling, small transfers, output readback)
+        with the previous call's device compute — the serving pattern.
+        """
 
         c = self.config
         latent_time = self.latent_time_for_seconds(audio_length_in_s)
@@ -399,6 +407,8 @@ class AudioLDM2Pipeline:
         else:
             wav = self._jitted[key](self.params, rng, fbank, text_pos, text_neg, g, s)
 
+        if not materialize:
+            return wav
         samples = int(audio_length_in_s * c.vocoder.sampling_rate)
         return np.asarray(wav)[:, :samples]
 

@@ -91,10 +91,18 @@ def main() -> None:
     # warmup / compile
     pipe.generate(pos_batch, neg_batch, fbank, seed=0, **kwargs)
 
+    # serving pattern: dispatch every call, materialize all outputs at the
+    # end (inside the timed region — all work is forced). Host-side work of
+    # call i+1 (arg marshaling, small transfers) overlaps call i's device
+    # compute instead of serializing behind the output readback.
     n_iters = 3
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        wav = pipe.generate(pos_batch, neg_batch, fbank, seed=i, **kwargs)
+    wavs = [
+        pipe.generate(pos_batch, neg_batch, fbank, seed=i, materialize=False, **kwargs)
+        for i in range(n_iters)
+    ]
+    for wav in wavs:
+        np.asarray(wav)
     dt = time.perf_counter() - t0
 
     clips_per_s = (BATCH * n_iters) / dt
