@@ -38,8 +38,9 @@ def _kernel(scale_ref, q_ref, kt_ref, vt_ref, ki_ref, vi_ref, o_ref, *, st: int,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [TILE_Q, S_pad]
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < valid, logits, NEG_INF)
+        if valid < logits.shape[-1]:  # static: mask only when padded
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < valid, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)

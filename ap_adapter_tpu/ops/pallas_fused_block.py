@@ -43,6 +43,12 @@ import os as _os
 # fp32 transcendental + converts); kept for other backends/shapes
 _BF16_SOFTMAX = _os.environ.get("AP_ATTN_BF16", "0") == "1"
 
+# max-free softmax probe (A/B: AP_ATTN_NOMAX=1) — bounds how much of the
+# kernel is the rowwise max pass. NOT numerically safe in general (exp
+# overflows past logit ~88; bf16 qk products at these scales stay well
+# under), so probe-only: quantifies the VPU share for docs/PERF.md.
+_NOMAX = _os.environ.get("AP_ATTN_NOMAX", "0") == "1"
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -100,7 +106,7 @@ def pick_tile_q(s: int, max_tile: int) -> int:
         # short sequences (the 252- and 64-token UNet levels): one tile
         # covering the whole (8-aligned) sequence
         return _round_up(s, 8)
-    if s % max_tile == 0:
+    if s % max_tile == 0 and max_tile % 8 == 0:
         return max_tile
     # only accept a dividing tile down to half the budget — a much smaller
     # tile costs more in per-program overhead than the pad copies save
@@ -159,8 +165,21 @@ def _kernel(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
              for i in range(g)], axis=0)    # [g*tq, 128] staircase
         logits = jax.lax.dot_general(
             qs, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < s_valid, logits, NEG_INF)
+        if s_valid < k_scr.shape[0]:  # static: mask only when S was padded
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < s_valid, logits, NEG_INF)
+        if _NOMAX:
+            p = jnp.exp(logits)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o_full = jax.lax.dot_general(
+                p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / denom
+            og = jnp.zeros((tq, LANES), jnp.float32)
+            for i in range(g):
+                blk = jax.lax.slice_in_dim(o_full, i * tq, (i + 1) * tq, axis=0)
+                og = og + jnp.where((lane >= i * d) & (lane < (i + 1) * d), blk, 0)
+            attn_groups.append(og.astype(xt.dtype))
+            continue
         m = jnp.max(logits, axis=-1, keepdims=True)
         if xt.dtype == jnp.bfloat16 and _BF16_SOFTMAX:
             # bf16 exp/sum over the S² probs (~0.4% rel err — same class as
@@ -245,7 +264,8 @@ def _kernel_t(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
             preferred_element_type=jnp.float32)
         for i in range(g):
             lt_i = jax.lax.slice_in_dim(lt, i * sp, (i + 1) * sp, axis=0)
-            lt_i = jnp.where(row < s_valid, lt_i, NEG_INF)
+            if s_valid < sp:  # static: mask only when S was padded
+                lt_i = jnp.where(row < s_valid, lt_i, NEG_INF)
             m = jnp.max(lt_i, axis=0, keepdims=True)       # over keys (rows)
             p = jnp.exp(lt_i - m)
             pn = (p / jnp.sum(p, axis=0, keepdims=True)).astype(xt.dtype)
@@ -410,8 +430,9 @@ def _bwd_kernel(x_full_ref, g_full_ref, x_tile_ref, g_tile_ref, lns_ref,
              for i in range(g)], axis=0)
         logits = jax.lax.dot_general(
             qs, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < s_valid, logits, NEG_INF)
+        if s_valid < k_scr.shape[0]:  # static: mask only when S was padded
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < s_valid, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(xt.dtype)

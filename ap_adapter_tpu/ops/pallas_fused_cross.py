@@ -79,8 +79,9 @@ def _staircase_attention(q, k_scr, v_scr, bias_row, sk_valid, heads, d):
              for i in range(g)], axis=0)
         logits = jax.lax.dot_general(
             qs, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < sk_valid, logits, NEG_INF)
+        if sk_valid < k_scr.shape[0]:  # static: mask only when K was padded
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < sk_valid, logits, NEG_INF)
         if bias_row is not None:
             logits = logits + bias_row
         m = jnp.max(logits, axis=-1, keepdims=True)
@@ -274,8 +275,9 @@ def _staircase_attention_bwd(q, gattn, k_scr, v_scr, bias_row, sk_valid,
              for i in range(g)], axis=0)
         logits = jax.lax.dot_general(
             qs, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < sk_valid, logits, NEG_INF)
+        if sk_valid < k_scr.shape[0]:  # static: mask only when K was padded
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < sk_valid, logits, NEG_INF)
         if bias_row is not None:
             logits = logits + bias_row
         m = jnp.max(logits, axis=-1, keepdims=True)

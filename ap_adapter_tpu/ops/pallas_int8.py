@@ -233,8 +233,9 @@ def _attn_kernel_i8(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, sq_ref,
              for i in range(g)], axis=0)    # [g*tq, 128] staircase
         logits = jax.lax.dot_general(
             qs, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < s_valid, logits, NEG_INF)
+        if s_valid < k_scr.shape[0]:  # static: mask only when S was padded
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < s_valid, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)

@@ -60,8 +60,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int, s_valid: int):
     logits = jax.lax.dot_general(
         qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [G*tq, Sp]; row block i == head i's logits
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < s_valid, logits, NEG_INF)
+    if s_valid < logits.shape[-1]:  # static: mask only when S was padded
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < s_valid, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)

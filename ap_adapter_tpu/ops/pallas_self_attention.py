@@ -33,8 +33,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int, sm_scale: float):
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale  # [BQ, Sp]
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < s_valid, logits, NEG_INF)
+    if s_valid < logits.shape[-1]:  # static: mask only when S was padded
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < s_valid, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
