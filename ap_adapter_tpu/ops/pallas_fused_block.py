@@ -283,6 +283,122 @@ def _kernel_t(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
     o_ref[0] = (xt.astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
+def _kernel_kt(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
+               wv_ref, wo_ref, bo_ref, o_ref, kst_scr, vt_scr, *,
+               heads: int, s_valid: int, eps: float, sm_scale: float):
+    """K-staircase transposed-PV kernel (v2 of the transposed idea).
+
+    The straight kernel's PV product keeps only d of 128 output lanes per
+    packed head — (g-1)/g of the S² PV MXU work is waste. Here the
+    STAIRCASE moves to K (built once per batch row in scratch), logits come
+    out of the MXU already transposed ([g·Sp, tq], full lanes), and PV runs
+    per head as vᵀ[d, Sp] · e[Sp, tq] — every output lane useful, head
+    slices of the vᵀ scratch are free sublane views.
+
+    What the two failed variants (docs/PERF.md r3) paid that this avoids:
+    * _kernel_t reduced BOTH max and sum over sublanes per head; here the
+      softmax denominator is a onesᵀ·e MXU matmul ([Sp,8]ᵀ — negligible
+      FLOPs), leaving the rowwise max as the only cross-sublane reduce.
+    * the straight+PV-transpose hybrid sliced v per head in LANES
+      ([Sp, d] offset views forcing Mosaic relayouts); the vᵀ layout makes
+      head slices sublane-aligned row views.
+    * pad-key masking folds into one zero-select on e (the max may include
+      the finite pad-row logits — harmless as a shift), not a −inf mask
+      pass on logits.
+
+    Query tiles should be lane-exact (tq % 128 == 0) — the transposed
+    logits/PV outputs carry tq in the lane dim.
+    """
+
+    j = pl.program_id(1)
+    c = x_tile_ref.shape[-1]   # LN/residual width
+    cq = wq_ref.shape[-1]      # q/k/v width = heads * (padded) head dim
+    d = cq // heads
+    g = LANES // d
+    n_groups = cq // LANES
+    tq = x_tile_ref.shape[1]
+    sp = vt_scr.shape[-1]
+
+    lns = lns_ref[0].astype(jnp.float32)
+    lnb = lnb_ref[0].astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        xf = _ln(x_full_ref[0], lns, lnb, eps).astype(x_full_ref.dtype)
+        k = jax.lax.dot_general(
+            xf, wk_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(kst_scr.dtype)
+        v = jax.lax.dot_general(
+            xf, wv_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(vt_scr.dtype)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (sp, LANES), 1)
+        for g2 in range(n_groups):
+            sl = slice(g2 * LANES, (g2 + 1) * LANES)
+            kg = k[:, sl]
+            kst_scr[:, sl] = jnp.concatenate(
+                [jnp.where((lane_k >= i * d) & (lane_k < (i + 1) * d), kg, 0)
+                 for i in range(g)], axis=0)   # [g*Sp, 128] K staircase
+        vt_scr[:, :] = v.transpose((1, 0))     # [Cq, Sp], once per batch row
+
+    xt = x_tile_ref[0]
+    xn = _ln(xt, lns, lnb, eps).astype(xt.dtype)
+    q = (jax.lax.dot_general(xn, wq_ref[:, :], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         * sm_scale).astype(xt.dtype)          # [tq, Cq], heads in lanes
+
+    masked = s_valid < sp
+    if masked:
+        row = jax.lax.broadcasted_iota(jnp.int32, (sp, tq), 0)
+    ones = jnp.ones((sp, 8), xt.dtype)
+    out_blocks = []
+    for g2 in range(n_groups):
+        sl = slice(g2 * LANES, (g2 + 1) * LANES)
+        # transposed logits for all g heads of this group in one matmul:
+        # row block i = head i's [Sp, tq] (K staircase zeros select head
+        # i's lanes of q; full 128-lane contraction, no MXU waste)
+        lt = jax.lax.dot_general(
+            kst_scr[:, sl], q[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [g*Sp, tq]
+        for i in range(g):
+            lt_i = jax.lax.slice_in_dim(lt, i * sp, (i + 1) * sp, axis=0)
+            # pad-key rows hold finite (LN(0)-bias) logits; including them
+            # in the max only shifts the exp — their e rows are zeroed.
+            m = jnp.max(lt_i, axis=0, keepdims=True)      # [1, tq]
+            e = jnp.exp(lt_i - m)
+            if masked:
+                e = jnp.where(row < s_valid, e, 0.0)
+            e = e.astype(xt.dtype)                        # [Sp, tq] bf16
+            # softmax denominator on the MXU: onesᵀ[8, Sp] · e -> [8, tq]
+            denom = jax.lax.dot_general(
+                ones, e, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[0:1, :]
+            # PV with zero lane waste: vᵀ[d, Sp] · e[Sp, tq] -> [d, tq];
+            # the head's vᵀ rows are an 8-aligned sublane view.
+            vt_i = vt_scr[g2 * LANES + i * d:g2 * LANES + (i + 1) * d, :]
+            o_i = jax.lax.dot_general(
+                vt_i, e, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_blocks.append(o_i / denom)
+
+    attn_t = jnp.concatenate(out_blocks, axis=0).astype(xt.dtype)  # [Cq, tq]
+    out_t = jax.lax.dot_general(
+        wo_ref[:, :], attn_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)    # [C_out, tq] = Woᵀ·attnᵀ
+    out = out_t.transpose((1, 0)) + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (xt.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def kt_applicable(s: int, heads: int, d_in: int) -> bool:
+    """Route to the transposed-PV kernel: it pays off when g >= 2 heads
+    share a lane group (g = 1 has no staircase PV waste to remove) and the
+    sequence is long enough for a lane-exact 256 query tile."""
+
+    d = _pad_head_dim(d_in)
+    if d is None or not fused_block_applicable(heads, d_in):
+        return False
+    return (LANES // d) >= 2 and s >= 256
+
+
 def fused_ln_self_attention(
     x: jnp.ndarray,       # [B, S, C]
     ln_scale: jnp.ndarray,  # [C]
@@ -297,18 +413,23 @@ def fused_ln_self_attention(
     tile_q: int = 256,
     interpret: bool = False,
     transposed: Optional[bool] = None,
+    kt: Optional[bool] = None,
 ) -> jnp.ndarray:
     """x + OutProj(MHA(LN(x))) in one kernel. Requires C % 128 == 0 and
     head_dim dividing 128 with aligned head groups (callers route).
 
     ``transposed`` selects the transposed-logits kernel (_kernel_t) whose
     PV product has no staircase lane waste; default from env AP_ATTN_T.
+    ``kt`` selects the v2 K-staircase transposed-PV kernel (_kernel_kt);
+    default from env AP_ATTN_KT (callers may route via kt_applicable).
     """
 
     import os
 
     if transposed is None:
         transposed = os.environ.get("AP_ATTN_T", "0") == "1"
+    if kt is None:
+        kt = os.environ.get("AP_ATTN_KT", "0") == "1"
     b, s, c = x.shape
     d_in = c // heads
     d = _pad_head_dim(d_in)
@@ -322,13 +443,25 @@ def fused_ln_self_attention(
         wo = _pad_heads_out(wo, heads, d_in, d)
         transposed = False  # _kernel_t keeps the aligned-d layout only
     g = LANES // d
-    tile_q = pick_tile_q(s, tile_q)
+    kt = kt and kt_applicable(s, heads, d_in)
+    if kt:
+        # transposed outputs carry tq in lanes — keep the tile lane-exact
+        tile_q = 256 if s > 256 else _round_up(s, 8)
+    else:
+        tile_q = pick_tile_q(s, tile_q)
     sp = _round_up(s, tile_q)
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
     dt = x.dtype
     cast = lambda a: jnp.asarray(a, dt)
 
-    if transposed:
+    if kt:
+        kernel = functools.partial(_kernel_kt, heads=heads, s_valid=s, eps=eps,
+                                   sm_scale=float(d_in) ** -0.5)
+        scratch = [
+            pltpu.VMEM((g * sp, cq), dt),  # K staircase per lane group
+            pltpu.VMEM((cq, sp), dt),      # vᵀ
+        ]
+    elif transposed:
         kernel = functools.partial(_kernel_t, heads=heads, s_valid=s, eps=eps,
                                    sm_scale=float(d_in) ** -0.5)
         scratch = [

@@ -48,6 +48,31 @@ def test_fused_block_matches_unfused(rng, shape, heads):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape,heads", [
+    ((1, 300, 256), 8),   # hot-site layout, padded 300 -> 512 (mask on)
+    ((1, 256, 256), 8),   # lane-exact single tile (mask statically skipped)
+    ((2, 300, 384), 8),   # d=48 -> padded 64, g=2
+    ((1, 260, 128), 2),   # d=64, g=2, single lane group
+])
+def test_kt_kernel_matches_unfused(rng, shape, heads):
+    """v2 transposed-PV kernel (_kernel_kt) parity. bf16-free (fp32 inputs,
+    interpret mode): tolerances cover only the denominator-from-rounded-e
+    reassociation."""
+
+    b, s, c = shape
+    x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    ln_s = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    ln_b = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    ws = [jnp.asarray((rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+          for _ in range(4)]
+    bo = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    want = np.asarray(_unfused(x, ln_s, ln_b, *ws, bo, heads, 1e-5))
+    got = np.asarray(pfb.fused_ln_self_attention(
+        x, ln_s, ln_b, *ws, bo, heads, eps=1e-5, interpret=True, kt=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_fused_block_grads(rng):
     b, s, c, heads = 1, 32, 128, 4
     x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
