@@ -256,6 +256,12 @@ class UNetConfig:
     # softmax probs don't fit an int8 grid). Inference-only: the int8
     # kernels define no VJP, so the trainer must never set this.
     use_int8: bool = False
+    # serving-prep: store head-padded weight copies in the "quant" collection
+    # ONCE at pipeline build (models/unet_blocks.py) — XLA's while-loop LICM
+    # does not hoist the per-step re-pads out of the DDIM scan. Inference
+    # serving only (the pipeline enables it); training reads raw params so
+    # gradients flow.
+    use_weight_prep: bool = False
     # rematerialize each resnet/attention group in the backward pass —
     # shrinks the fwd+bwd graph and activation memory so the full-scale
     # train step compiles on TPU (the training CLI turns this on; pure
@@ -357,6 +363,10 @@ class PipelineConfig:
     vocoder: VocoderConfig = dataclasses.field(default_factory=VocoderConfig)
     scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     dtype: Any = jnp.bfloat16  # compute dtype; params stay fp32
+    # hoist step-invariant work out of the denoise scan (models/hoist.py):
+    # cross-attention K/V + T5 bias + the timestep-embedding tables are
+    # precomputed once per generate call instead of once per DDIM step
+    hoist_step_invariants: bool = True
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -26,6 +26,7 @@ def ddim_sample_loop(
     do_cfg: bool = True,
     tables: Optional[DDIMTables] = None,
     timesteps: Optional[np.ndarray] = None,
+    step_aux=None,
 ) -> jnp.ndarray:
     """Run the full DDIM denoise.
 
@@ -35,6 +36,10 @@ def ddim_sample_loop(
     as uncond + g * (cond - uncond). ``timesteps`` overrides the schedule
     (e.g. the truncated SDEdit schedule); step spacing still follows
     ``num_inference_steps``.
+
+    ``step_aux``: optional pytree whose leaves carry a leading [T] axis
+    (e.g. the hoisted per-step time-embedding rows, models/hoist.py); the
+    scan slices it per step and calls unet_fn(model_in, t, aux_slice).
     """
 
     tables = tables or make_tables(scheduler_config)
@@ -47,21 +52,21 @@ def ddim_sample_loop(
 
     b = latents.shape[0]
 
-    def body(carry, t_pair):
+    def body(carry, xs):
         lat = carry
-        t, prev_t = t_pair
+        t, prev_t, aux = xs
         if do_cfg:
             model_in = jnp.concatenate([lat, lat], axis=0)
         else:
             model_in = lat
-        noise_pred = unet_fn(model_in, t)
+        noise_pred = unet_fn(model_in, t) if aux is None else unet_fn(model_in, t, aux)
         if do_cfg:
             uncond, cond = jnp.split(noise_pred, 2, axis=0)
             noise_pred = uncond + jnp.asarray(guidance_scale, uncond.dtype) * (cond - uncond)
         lat = ddim_step(tables, noise_pred, t, prev_t, lat).astype(latents.dtype)
         return lat, None
 
-    latents, _ = jax.lax.scan(body, latents, (ts, prev_ts))
+    latents, _ = jax.lax.scan(body, latents, (ts, prev_ts, step_aux))
     return latents
 
 

@@ -43,6 +43,8 @@ class AudioLDM2UNet(nn.Module):
         encoder_attention_mask_1: Optional[jnp.ndarray] = None,  # [B, S1]
         ip_scale: jnp.ndarray | float = 0.0,
         class_labels: Optional[jnp.ndarray] = None,  # [B, class_embed_dim]
+        ctx_kv: Optional[dict] = None,  # hoisted cross K/V (models/hoist.py)
+        temb_rows: Optional[dict] = None,  # {resnet: [C]} hoisted temb rows
     ) -> jnp.ndarray:
         c = self.config
         ch = c.block_out_channels
@@ -55,18 +57,25 @@ class AudioLDM2UNet(nn.Module):
         # stream masks -> additive biases (reference modeling_audioldm2.py:741-747)
         bias0 = None  # the GPT-2+AudioMAE stream is never masked (all tokens real)
         bias1 = mask_to_bias(encoder_attention_mask_1, sample.shape[1]) if (
-            encoder_attention_mask_1 is not None
+            encoder_attention_mask_1 is not None and ctx_kv is None
         ) else None
+        bias1_pre = ctx_kv.get("__bias1__") if ctx_kv is not None else None
 
-        # time embedding
-        t_emb = get_timestep_embedding(
-            timesteps, ch[0], flip_sin_to_cos=c.flip_sin_to_cos, downscale_freq_shift=c.freq_shift
-        ).astype(self.dtype)
-        temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_1")(t_emb)
-        temb = nn.silu(temb)
-        temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_2")(temb)
+        # time embedding (hoisted out of the denoise scan when temb_rows is
+        # given — the whole sin/cos -> MLP -> per-resnet Dense chain is
+        # step-schedule-only, precomputed by models/hoist.precompute_temb_rows)
+        temb = None
+        if temb_rows is None:
+            t_emb = get_timestep_embedding(
+                timesteps, ch[0], flip_sin_to_cos=c.flip_sin_to_cos, downscale_freq_shift=c.freq_shift
+            ).astype(self.dtype)
+            temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_1")(t_emb)
+            temb = nn.silu(temb)
+            temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_2")(temb)
 
-        if c.class_embed_dim is not None and class_labels is not None:
+        if c.class_embed_dim is not None and class_labels is not None and temb is not None:
+            # class-conditioned path (AudioLDM v1) — not wired for temb
+            # hoisting; its pipeline never passes temb_rows
             # "simple_projection" class embedding (AudioLDM v1:
             # modeling path class_embed_type='simple_projection')
             cemb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="class_embedding")(
@@ -98,11 +107,18 @@ class AudioLDM2UNet(nn.Module):
                 num_ip_tokens=c.adapter_num_tokens,
                 use_pallas=c.use_pallas_attention,
                 use_int8=c.use_int8,
+                use_weight_prep=c.use_weight_prep,
                 groups=groups,
                 scan_unroll=c.scan_unroll,
                 dtype=self.dtype,
                 name=name,
             )
+
+        def kv_of(name):
+            return ctx_kv.get(name) if ctx_kv is not None else None
+
+        def trow(name):
+            return temb_rows.get(name) if temb_rows is not None else None
 
         x = nn.Conv(ch[0], (c.conv_in_kernel,) * 2, padding=(c.conv_in_kernel - 1) // 2,
                     dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
@@ -114,10 +130,12 @@ class AudioLDM2UNet(nn.Module):
             out_ch = ch[bi]
             for li in range(c.layers_per_block):
                 x = Resnet(out_ch, groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm, use_pallas_resnet=c.use_pallas_resnet,
-                           dtype=self.dtype, name=f"down_{bi}_resnet_{li}")(x, temb)
+                           dtype=self.dtype, name=f"down_{bi}_resnet_{li}")(
+                               x, temb, trow(f"down_{bi}_resnet_{li}"))
                 if c.down_block_has_attn[bi]:
                     x = attn_group(out_ch, f"down_{bi}_attn_{li}")(
-                        x, ehs0, ehs1, bias0, bias1, ip_scale
+                        x, ehs0, ehs1, bias0, bias1, ip_scale,
+                        kv_of(f"down_{bi}_attn_{li}"), bias1_pre
                     )
                 skips.append(x)
             if bi < num_blocks - 1:
@@ -127,10 +145,11 @@ class AudioLDM2UNet(nn.Module):
 
         # ----- mid -----
         x = Resnet(ch[-1], groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm, use_pallas_resnet=c.use_pallas_resnet,
-                   dtype=self.dtype, name="mid_resnet_0")(x, temb)
-        x = attn_group(ch[-1], "mid_attn_0")(x, ehs0, ehs1, bias0, bias1, ip_scale)
+                   dtype=self.dtype, name="mid_resnet_0")(x, temb, trow("mid_resnet_0"))
+        x = attn_group(ch[-1], "mid_attn_0")(
+            x, ehs0, ehs1, bias0, bias1, ip_scale, kv_of("mid_attn_0"), bias1_pre)
         x = Resnet(ch[-1], groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm, use_pallas_resnet=c.use_pallas_resnet,
-                   dtype=self.dtype, name="mid_resnet_1")(x, temb)
+                   dtype=self.dtype, name="mid_resnet_1")(x, temb, trow("mid_resnet_1"))
 
         # ----- up -----
         reversed_ch = list(reversed(ch))
@@ -141,10 +160,12 @@ class AudioLDM2UNet(nn.Module):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = Resnet(out_ch, groups, c.norm_eps, use_pallas_gn=c.use_pallas_groupnorm, use_pallas_resnet=c.use_pallas_resnet,
-                           dtype=self.dtype, name=f"up_{bi}_resnet_{li}")(x, temb)
+                           dtype=self.dtype, name=f"up_{bi}_resnet_{li}")(
+                               x, temb, trow(f"up_{bi}_resnet_{li}"))
                 if c.up_block_has_attn[bi]:
                     x = attn_group(out_ch, f"up_{bi}_attn_{li}")(
-                        x, ehs0, ehs1, bias0, bias1, ip_scale
+                        x, ehs0, ehs1, bias0, bias1, ip_scale,
+                        kv_of(f"up_{bi}_attn_{li}"), bias1_pre
                     )
             if not is_final:
                 # upsample to the next skip's spatial dims (handles odd sizes

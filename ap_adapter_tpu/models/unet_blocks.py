@@ -95,7 +95,8 @@ class ResnetBlock2D(nn.Module):
         return nn.silu(h)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
+                 temb_pre: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_ch = x.shape[-1]
         out_ch = self.out_channels
 
@@ -110,7 +111,10 @@ class ResnetBlock2D(nn.Module):
                 g1s, g1b = GroupNormParams(in_ch, name="norm1")()
                 w1, b1 = ConvParams(out_ch, (3, 3), name="conv1")(in_ch)
                 tp = None
-                if self.use_temb and temb is not None:
+                if self.use_temb and temb_pre is not None:
+                    tp = jnp.broadcast_to(
+                        temb_pre.astype(self.dtype)[None, :], (x.shape[0], out_ch))
+                elif self.use_temb and temb is not None:
                     tp = nn.Dense(out_ch, dtype=self.dtype,
                                   name="time_emb_proj")(nn.silu(temb))
                 g2s, g2b = GroupNormParams(out_ch, name="norm2")()
@@ -124,7 +128,11 @@ class ResnetBlock2D(nn.Module):
 
         h = self._gn_silu(x, "norm1")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        if self.use_temb and temb is not None:
+        if self.use_temb and temb_pre is not None:
+            # per-step row from the hoisted [T, C] table (models/hoist.py):
+            # identical across the batch, broadcast here
+            h = h + temb_pre.astype(self.dtype)[None, None, None, :]
+        elif self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = self._gn_silu(h, "norm2")
@@ -282,6 +290,7 @@ class CrossAttention(nn.Module):
     num_ip_tokens: int = 8
     use_pallas: bool = False
     use_int8: bool = False
+    use_weight_prep: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -292,6 +301,8 @@ class CrossAttention(nn.Module):
         mask_bias: Optional[jnp.ndarray] = None,
         ip_scale: jnp.ndarray | float = 0.0,
         pre_ln: Optional[tuple] = None,
+        kv_pre: Optional[tuple] = None,
+        bias_pre: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         inner = self.heads * self.dim_head
         b, n, c_in = x.shape
@@ -304,7 +315,10 @@ class CrossAttention(nn.Module):
         wo, bo = DenseParams(self.out_dim, name="to_out")(inner)
 
         d = self.dim_head
-        from ap_adapter_tpu.ops.pallas_fused_block import fused_block_applicable
+        from ap_adapter_tpu.ops.pallas_fused_block import (
+            _pad_head_dim, _pad_heads_in, _pad_heads_out, fused_block_applicable)
+
+        d_p = _pad_head_dim(d)
 
         fused_ok = (
             pre_ln is not None and not is_cross and mask_bias is None
@@ -317,6 +331,28 @@ class CrossAttention(nn.Module):
             and inner == c_in and self.out_dim == c_in
             and _on_tpu()
         )
+        if fused_ok and self.use_weight_prep and not self.use_int8 \
+                and d_p is not None and d_p != d:
+            # serving-prep: head padding folded into the weights ONCE at
+            # pipeline build (the "quant" collection, same plumbing as int8)
+            # — XLA re-pads every DDIM step otherwise (no while-loop LICM)
+            from ap_adapter_tpu.ops.pallas_fused_block import fused_ln_self_attention
+
+            pv = self.variable(
+                "quant", "attn_prep",
+                lambda: (
+                    _pad_heads_in(jnp.asarray(wq, self.dtype), self.heads, d, d_p),
+                    _pad_heads_in(jnp.asarray(wk, self.dtype), self.heads, d, d_p),
+                    _pad_heads_in(jnp.asarray(wv, self.dtype), self.heads, d, d_p),
+                    _pad_heads_out(jnp.asarray(wo, self.dtype), self.heads, d, d_p),
+                ))
+            wq_p, wk_p, wv_p, wo_p = pv.value
+            scale, bias = pre_ln
+            return fused_ln_self_attention(
+                x, scale, bias, wq_p, wk_p, wv_p, wo_p,
+                jnp.asarray(bo, self.dtype), self.heads, 1e-5,
+                _fused_block_tile_q(n, inner, self.heads), prepadded=True,
+            )
         if fused_ok and self.use_int8:
             # W8A8 serving mode (inference-only — no VJP is defined): int8
             # q/out projections, everything else bf16 (ops/pallas_int8.py
@@ -351,6 +387,46 @@ class CrossAttention(nn.Module):
                 jnp.asarray(bo, self.dtype), self.heads, 1e-5,
                 # query tile sized so the fp32 logits block fits VMEM
                 _fused_block_tile_q(n, inner, self.heads),
+            )
+
+        fused_kv_ok = (
+            kv_pre is not None and pre_ln is not None and is_cross
+            and n >= _SMALL_ATTN_MIN_N and inner % 128 == 0
+            and fused_block_applicable(self.heads, d)
+            and inner == c_in and self.out_dim == c_in
+            and _on_tpu()
+        )
+        if fused_kv_ok and not self.use_int8:
+            # hoisted-K/V serving route (models/hoist.py): the conditioning
+            # K/V were projected ONCE before the DDIM scan; the kernel keeps
+            # only the x-dependent work
+            from ap_adapter_tpu.ops.pallas_fused_cross import fused_ln_cross_attention_kv
+
+            k_pre, v_pre, ki_pre, vi_pre = kv_pre
+            has_ip = ki_pre is not None
+            sk_total = context.shape[1]
+            sk_text = self.num_ip_tokens if has_ip else sk_total
+            sk_ip = sk_total - self.num_ip_tokens if has_ip else 0
+            if self.use_weight_prep and d_p is not None and d_p != d:
+                pv = self.variable(
+                    "quant", "cross_prep",
+                    lambda: (
+                        _pad_heads_in(jnp.asarray(wq, self.dtype), self.heads, d, d_p),
+                        _pad_heads_out(jnp.asarray(wo, self.dtype), self.heads, d, d_p),
+                    ))
+                wq_p, wo_p = pv.value
+            elif d_p is not None and d_p != d:
+                wq_p = _pad_heads_in(jnp.asarray(wq, self.dtype), self.heads, d, d_p)
+                wo_p = _pad_heads_out(jnp.asarray(wo, self.dtype), self.heads, d, d_p)
+            else:
+                wq_p = jnp.asarray(wq, self.dtype)
+                wo_p = jnp.asarray(wo, self.dtype)
+            scale, bias = pre_ln
+            return fused_ln_cross_attention_kv(
+                x, k_pre, v_pre, scale, bias, wq_p, wo_p,
+                jnp.asarray(bo, self.dtype), self.heads, sk_text,
+                ki=ki_pre, vi=vi_pre, sk_ip=sk_ip, ip_scale=ip_scale,
+                bias_pre=bias_pre, eps=1e-5,
             )
 
         fused_cross_ok = (
@@ -437,9 +513,23 @@ class CrossAttention(nn.Module):
             ctx = context if is_cross else x
             ip_ctx = None
 
+        if mask_bias is None and bias_pre is not None and is_cross:
+            # hoisted-bias fallback (non-TPU / unfused shapes): [B,1,Skp]
+            # padded additive rows -> the sdpa [B,1,1,Sk] layout
+            mask_bias = bias_pre[:, :, None, : ctx.shape[1]]
+
+        def _unpack_kv(a, sk):
+            # hoisted K/V arrive row- and head-lane-padded; recover [B,sk,H,d]
+            dp = a.shape[-1] // self.heads
+            return a[:, :sk].reshape(b, sk, self.heads, dp)[..., :d].astype(self.dtype)
+
         q = _dense(x, wq, None, self.dtype).reshape(b, n, self.heads, d)
-        k = _dense(ctx, wk, None, self.dtype).reshape(b, -1, self.heads, d)
-        v = _dense(ctx, wv, None, self.dtype).reshape(b, -1, self.heads, d)
+        if kv_pre is not None and is_cross:
+            k = _unpack_kv(kv_pre[0], ctx.shape[1])
+            v = _unpack_kv(kv_pre[1], ctx.shape[1])
+        else:
+            k = _dense(ctx, wk, None, self.dtype).reshape(b, -1, self.heads, d)
+            v = _dense(ctx, wv, None, self.dtype).reshape(b, -1, self.heads, d)
 
         if self.use_adapter:
             # params always exist at adapter sites so the checkpoint layout is
@@ -447,8 +537,12 @@ class CrossAttention(nn.Module):
             wki, _ = DenseParams(inner, use_bias=False, name="to_k_ip")(ctx_dim)
             wvi, _ = DenseParams(inner, use_bias=False, name="to_v_ip")(ctx_dim)
             if ip_ctx is not None:
-                ki = _dense(ip_ctx, wki, None, self.dtype).reshape(b, -1, self.heads, d)
-                vi = _dense(ip_ctx, wvi, None, self.dtype).reshape(b, -1, self.heads, d)
+                if kv_pre is not None and kv_pre[2] is not None:
+                    ki = _unpack_kv(kv_pre[2], ip_ctx.shape[1])
+                    vi = _unpack_kv(kv_pre[3], ip_ctx.shape[1])
+                else:
+                    ki = _dense(ip_ctx, wki, None, self.dtype).reshape(b, -1, self.heads, d)
+                    vi = _dense(ip_ctx, wvi, None, self.dtype).reshape(b, -1, self.heads, d)
                 if self.use_pallas:
                     from ap_adapter_tpu.ops.pallas_attention import fused_dual_kv_attention
 
@@ -543,6 +637,7 @@ class BasicTransformerBlock(nn.Module):
     num_ip_tokens: int = 8
     use_pallas: bool = False
     use_int8: bool = False
+    use_weight_prep: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -552,6 +647,8 @@ class BasicTransformerBlock(nn.Module):
         context: Optional[jnp.ndarray] = None,
         context_mask_bias: Optional[jnp.ndarray] = None,
         ip_scale: jnp.ndarray | float = 0.0,
+        kv_pre: Optional[tuple] = None,
+        bias_pre: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         # pre-LN params are passed INTO the attention (residual computed
         # there) so the hot self-attention sites fuse LN+QKV+attn+out+res
@@ -559,6 +656,7 @@ class BasicTransformerBlock(nn.Module):
         ln1 = LayerNormParams(self.dim, name="norm1")()
         x = CrossAttention(
             self.heads, self.dim_head, self.dim, use_int8=self.use_int8,
+            use_weight_prep=self.use_weight_prep,
             dtype=self.dtype, name="attn1",
         )(x, pre_ln=ln1)
 
@@ -568,9 +666,12 @@ class BasicTransformerBlock(nn.Module):
             self.heads, self.dim_head, self.dim,
             use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
             use_pallas=self.use_pallas, use_int8=self.use_int8,
+            use_weight_prep=self.use_weight_prep,
             dtype=self.dtype, name="attn2",
         )(x, context=ctx, mask_bias=context_mask_bias if ctx is not None else None,
-          ip_scale=ip_scale, pre_ln=ln2)
+          ip_scale=ip_scale, pre_ln=ln2,
+          kv_pre=kv_pre if ctx is not None else None,
+          bias_pre=bias_pre if ctx is not None else None)
 
         ln3 = LayerNormParams(self.dim, name="norm3")()
         return FeedForward(self.dim, use_int8=self.use_int8, dtype=self.dtype,
@@ -581,9 +682,11 @@ class _ScanTransformerBlock(BasicTransformerBlock):
     """BasicTransformerBlock with a scan-compatible (carry, out) return."""
 
     @nn.compact
-    def __call__(self, x, context=None, context_mask_bias=None, ip_scale=0.0):
+    def __call__(self, x, context=None, context_mask_bias=None, ip_scale=0.0,
+                 kv_pre=None, bias_pre=None):
         return (
-            BasicTransformerBlock.__call__(self, x, context, context_mask_bias, ip_scale),
+            BasicTransformerBlock.__call__(self, x, context, context_mask_bias,
+                                           ip_scale, kv_pre, bias_pre),
             None,
         )
 
@@ -606,6 +709,7 @@ class Transformer2DModel(nn.Module):
     num_ip_tokens: int = 8
     use_pallas: bool = False
     use_int8: bool = False
+    use_weight_prep: bool = False
     groups: int = 32
     scan_unroll: int = 1
     dtype: Any = jnp.float32
@@ -617,6 +721,8 @@ class Transformer2DModel(nn.Module):
         context: Optional[jnp.ndarray] = None,
         context_mask_bias: Optional[jnp.ndarray] = None,
         ip_scale: jnp.ndarray | float = 0.0,
+        kv_pre: Optional[tuple] = None,  # (k, v, ki, vi), each [L, B, Skp, cq]
+        bias_pre: Optional[jnp.ndarray] = None,  # [B, 1, Skp] fp32
     ) -> jnp.ndarray:
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
@@ -624,13 +730,18 @@ class Transformer2DModel(nn.Module):
         y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         y = nn.Dense(inner, dtype=self.dtype, name="proj_in")(y)  # 1x1 conv == dense
         y = y.reshape(b, h * w, inner)
+        # hoisted K/V ride the scan sliced per block (axis 0 = L, matching
+        # the stacked params they were projected with); everything else
+        # broadcasts
+        in_axes = (nn.broadcast, nn.broadcast, nn.broadcast,
+                   nn.broadcast if kv_pre is None else 0, nn.broadcast)
         blocks = nn.scan(
             _ScanTransformerBlock,
-            # "quant": per-block int8 weight copies (serving mode), stacked
-            # [L, ...] exactly like the params they mirror
+            # "quant": per-block int8/prep weight copies (serving mode),
+            # stacked [L, ...] exactly like the params they mirror
             variable_axes={"params": 0, "quant": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=in_axes,
             length=self.num_layers,
             # unroll at trace time (params stay stacked): removes the
             # per-site loop overhead on the inference path; training keeps
@@ -641,9 +752,10 @@ class Transformer2DModel(nn.Module):
             cross_attention_dim=self.cross_attention_dim,
             use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
             use_pallas=self.use_pallas, use_int8=self.use_int8,
+            use_weight_prep=self.use_weight_prep,
             dtype=self.dtype, name="transformer_blocks",
         )
-        y, _ = blocks(y, context, context_mask_bias, ip_scale)
+        y, _ = blocks(y, context, context_mask_bias, ip_scale, kv_pre, bias_pre)
         y = y.reshape(b, h, w, inner)
         y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
         return y + residual
@@ -663,6 +775,7 @@ class AttentionGroup(nn.Module):
     num_ip_tokens: int = 8
     use_pallas: bool = False
     use_int8: bool = False
+    use_weight_prep: bool = False
     groups: int = 32
     scan_unroll: int = 1
     dtype: Any = jnp.float32
@@ -676,14 +789,18 @@ class AttentionGroup(nn.Module):
         mask_bias0: Optional[jnp.ndarray] = None,
         mask_bias1: Optional[jnp.ndarray] = None,
         ip_scale: jnp.ndarray | float = 0.0,
+        ctx_kv: Optional[dict] = None,  # this group's hoisted K/V (hoist.py)
+        bias1_pre: Optional[jnp.ndarray] = None,  # [B, 1, Skp1] fp32
     ) -> jnp.ndarray:
         for idx, dim in enumerate(self.cross_attention_dims):
             if dim is not None and idx <= 1:
-                context, bias = ehs0, mask_bias0
+                context, bias, bias_pre = ehs0, mask_bias0, None
             elif dim is not None and idx > 1:
-                context, bias = ehs1, mask_bias1
+                context, bias, bias_pre = ehs1, mask_bias1, bias1_pre
             else:
-                context, bias = None, None
+                context, bias, bias_pre = None, None, None
+            kv = ctx_kv.get(f"attentions_{idx}") if (
+                ctx_kv is not None and dim is not None) else None
             x = Transformer2DModel(
                 self.heads, self.dim_head,
                 num_layers=self.transformer_layers,
@@ -691,7 +808,8 @@ class AttentionGroup(nn.Module):
                 use_adapter=(dim is not None and dim == self.adapter_dim),
                 num_ip_tokens=self.num_ip_tokens,
                 use_pallas=self.use_pallas, use_int8=self.use_int8,
+                use_weight_prep=self.use_weight_prep,
                 groups=self.groups, scan_unroll=self.scan_unroll,
                 dtype=self.dtype, name=f"attentions_{idx}",
-            )(x, context, bias, ip_scale)
+            )(x, context, bias, ip_scale, kv, bias_pre)
         return x

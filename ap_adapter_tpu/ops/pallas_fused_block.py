@@ -414,6 +414,7 @@ def fused_ln_self_attention(
     interpret: bool = False,
     transposed: Optional[bool] = None,
     kt: Optional[bool] = None,
+    prepadded: bool = False,
 ) -> jnp.ndarray:
     """x + OutProj(MHA(LN(x))) in one kernel. Requires C % 128 == 0 and
     head_dim dividing 128 with aligned head groups (callers route).
@@ -422,6 +423,9 @@ def fused_ln_self_attention(
     PV product has no staircase lane waste; default from env AP_ATTN_T.
     ``kt`` selects the v2 K-staircase transposed-PV kernel (_kernel_kt);
     default from env AP_ATTN_KT (callers may route via kt_applicable).
+    ``prepadded``: wq/wk/wv/wo already carry the head padding (serving-prep
+    collection, models/unet_blocks.py) — XLA does not hoist the per-step
+    re-pads out of the DDIM while loop, so serving pads once at build.
     """
 
     import os
@@ -435,12 +439,13 @@ def fused_ln_self_attention(
     d = _pad_head_dim(d_in)
     assert d is not None and fused_block_applicable(heads, d_in) and c % LANES == 0
     cq = heads * d
-    if d != d_in:
+    if d != d_in and not prepadded:
         # fold the head padding into the weights (zero pad lanes — exact)
         wq = _pad_heads_in(wq, heads, d_in, d)
         wk = _pad_heads_in(wk, heads, d_in, d)
         wv = _pad_heads_in(wv, heads, d_in, d)
         wo = _pad_heads_out(wo, heads, d_in, d)
+    if d != d_in:
         transposed = False  # _kernel_t keeps the aligned-d layout only
     g = LANES // d
     kt = kt and kt_applicable(s, heads, d_in)

@@ -248,6 +248,122 @@ def fused_ln_cross_attention(
     return out[:, :s]
 
 
+def _kernel_kv(*refs, heads: int, sk_text: int, sk_ip: int, eps: float,
+               sm_scale: float, has_ip: bool, has_bias: bool):
+    """Cross-attention block with PRECOMPUTED K/V (models/hoist.py): the
+    conditioning is step-invariant across the DDIM scan, so the projections
+    run once per generate instead of once per step. The kernel keeps only the
+    x-dependent work: LN, q/out projections, the two staircase attentions."""
+
+    if has_ip:
+        (x_tile_ref, k_ref, v_ref, ki_ref, vi_ref, bias_ref, lns_ref,
+         lnb_ref, wq_ref, wo_ref, bo_ref, scale_ref, o_ref) = refs
+    else:
+        (x_tile_ref, k_ref, v_ref, bias_ref, lns_ref, lnb_ref,
+         wq_ref, wo_ref, bo_ref, scale_ref, o_ref) = refs
+    cq = wq_ref.shape[-1]
+    d = cq // heads
+
+    xt = x_tile_ref[0]
+    xn = _ln(xt, lns_ref[0].astype(jnp.float32), lnb_ref[0].astype(jnp.float32),
+             eps).astype(xt.dtype)
+    q = (jax.lax.dot_general(xn, wq_ref[:, :], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         * sm_scale).astype(xt.dtype)
+
+    bias_row = bias_ref[0].astype(jnp.float32) if has_bias else None
+    out = _staircase_attention(q, k_ref[0], v_ref[0], bias_row,
+                               sk_text, heads, d)
+    if has_ip:
+        out_ip = _staircase_attention(q, ki_ref[0], vi_ref[0], None,
+                                      sk_ip, heads, d)
+        out = out + scale_ref[0, 0] * out_ip
+
+    proj = jax.lax.dot_general(
+        out.astype(xt.dtype), wo_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (xt.astype(jnp.float32) + proj).astype(o_ref.dtype)
+
+
+def fused_ln_cross_attention_kv(
+    x: jnp.ndarray,           # [B, S, C]
+    k: jnp.ndarray,           # [B, Skp_t, cq] — rows AND head-lanes pre-padded
+    v: jnp.ndarray,           # [B, Skp_t, cq]
+    ln_scale, ln_bias,        # [C]
+    wq_p,                     # [C, cq] pre-padded (ops prep / hoist layout)
+    wo_p, bo,                 # [cq, C], [C]
+    heads: int,
+    sk_text: int,             # true (unpadded) text key count
+    *,
+    ki: Optional[jnp.ndarray] = None,   # [B, Skp_ip, cq] adapter K
+    vi: Optional[jnp.ndarray] = None,
+    sk_ip: int = 0,
+    ip_scale=0.0,
+    bias_pre: Optional[jnp.ndarray] = None,  # [B, 1, Skp_t] fp32 additive
+    eps: float = 1e-5,
+    tile_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x + OutProj(CrossAttn(LN(x), precomputed K/V)) — inference-only (no
+    VJP; the trainer keeps the projecting variant so weight grads flow)."""
+
+    b, s, c = x.shape
+    d_in = c // heads
+    assert fused_block_applicable(heads, d_in) and c % LANES == 0
+    cq = wq_p.shape[-1]
+    has_ip = ki is not None
+
+    tile_q = pick_tile_q(s, min(tile_q, _round_up(s, 64)))
+    sp = _round_up(s, tile_q)
+    skp_t = k.shape[1]
+    skp_ip = ki.shape[1] if has_ip else 0
+
+    dt = x.dtype
+    xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    if bias_pre is None:
+        bias = jnp.zeros((b, 1, skp_t), jnp.float32)
+        has_bias = False
+    else:
+        bias = bias_pre
+        has_bias = True
+
+    kv_spec = lambda skp: pl.BlockSpec(
+        (1, skp, cq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        kv_spec(skp_t), kv_spec(skp_t),
+    ]
+    args = [xp, k, v]
+    if has_ip:
+        in_specs += [kv_spec(skp_ip), kv_spec(skp_ip)]
+        args += [ki, vi]
+    in_specs += [
+        pl.BlockSpec((1, 1, skp_t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, cq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cq, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args += [bias, jnp.asarray(ln_scale, dt).reshape(1, c),
+             jnp.asarray(ln_bias, dt).reshape(1, c), jnp.asarray(wq_p, dt),
+             jnp.asarray(wo_p, dt), jnp.asarray(bo, dt).reshape(1, c),
+             jnp.asarray(ip_scale, jnp.float32).reshape(1, 1)]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_kv, heads=heads, sk_text=sk_text, sk_ip=sk_ip, eps=eps,
+            sm_scale=float(d_in) ** -0.5, has_ip=has_ip, has_bias=has_bias),
+        grid=(b, sp // tile_q),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sp, c), dt),
+        interpret=interpret,
+    )(*args)
+    return out[:, :s]
+
+
 def _staircase_attention_bwd(q, gattn, k_scr, v_scr, bias_row, sk_valid,
                              heads, d, want_dkv: bool):
     """Backward of _staircase_attention for one query tile.

@@ -235,7 +235,23 @@ class PipelineModules:
         else:
             latents = init_latents
 
-        def unet_fn(model_in, t):
+        # hoist every step-invariant computation out of the denoise scan
+        # (models/hoist.py): cross K/V + T5 bias become scan constants, the
+        # timestep-embedding rows ride the scan xs sliced per step
+        ctx_kv = None
+        step_aux = None
+        if c.hoist_step_invariants:
+            from ap_adapter_tpu.diffusion.ddim import inference_timesteps
+            from ap_adapter_tpu.models.hoist import (
+                precompute_cross_kv, precompute_temb_rows)
+
+            ctx_kv = precompute_cross_kv(
+                params["unet"], c.unet, ehs0, t5_hidden, t5_mask, c.dtype)
+            ts_np = inference_timesteps(c.scheduler, num_inference_steps)
+            step_aux = {"temb": precompute_temb_rows(
+                params["unet"], c.unet, ts_np, c.dtype)}
+
+        def unet_fn(model_in, t, aux=None):
             ts = jnp.broadcast_to(t.astype(jnp.float32), (model_in.shape[0],))
             return self.unet.apply(
                 unet_variables(params),
@@ -245,6 +261,8 @@ class PipelineModules:
                 t5_hidden,
                 t5_mask,
                 ip_scale=ap_scale,
+                ctx_kv=ctx_kv,
+                temb_rows=aux["temb"] if aux is not None else None,
             )
 
         latents = ddim_sample_loop(
@@ -254,6 +272,7 @@ class PipelineModules:
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             do_cfg=True,
+            step_aux=step_aux,
         )
 
         mel = self.vae.apply(
@@ -269,6 +288,15 @@ class AudioLDM2Pipeline:
     """User-facing pipeline: owns params, jits generate per shape bucket."""
 
     def __init__(self, config: PipelineConfig, params: Dict[str, Any], device=None):
+        import dataclasses
+
+        from ap_adapter_tpu.ops.attention import _on_tpu
+
+        if _on_tpu() and not config.unet.use_weight_prep:
+            # serving on TPU: store head-padded weight copies once (the
+            # "quant" collection) instead of re-padding every DDIM step
+            config = config.replace(
+                unet=dataclasses.replace(config.unet, use_weight_prep=True))
         self.config = config
         self.modules = PipelineModules(config)
         # commit params to device once — host (numpy) leaves would otherwise be
@@ -278,10 +306,12 @@ class AudioLDM2Pipeline:
             params = jax.device_put(params, device)
         self.params = params
         self._jitted: Dict[Tuple, Any] = {}
-        if config.unet.use_int8 and params and "unet_quant" not in params:
-            # int8 serving mode: quantize the routed UNet weights ONCE here
-            # (one jitted dummy forward with mutable=["quant"]); the step
-            # graph then only reads the int8 copies — no per-step requant
+        if (config.unet.use_int8 or config.unet.use_weight_prep) \
+                and params and "unet_quant" not in params:
+            # int8 / weight-prep serving mode: quantize (or head-pad) the
+            # routed UNet weights ONCE here (one jitted dummy forward with
+            # mutable=["quant"]); the step graph then only reads the
+            # prepared copies — no per-step requant/re-pad
             self.params = dict(params)
             self.params["unet_quant"] = self._build_unet_quant(params)
 
@@ -306,10 +336,19 @@ class AudioLDM2Pipeline:
 
         @jax.jit
         def build(p):
+            # mirror the serving route: with hoisting enabled, cross sites
+            # take the precomputed-K/V kernel path, whose prep variables
+            # ("cross_prep") only materialize when ctx_kv is supplied
+            ctx_kv = None
+            if c.hoist_step_invariants and not c.unet.use_int8:
+                from ap_adapter_tpu.models.hoist import precompute_cross_kv
+
+                ctx_kv = precompute_cross_kv(p, c.unet, ehs0, ehs1, mask1, c.dtype)
             _, mut = self.modules.unet.apply(
                 {"params": p}, sample, ts, ehs0, ehs1, mask1, ip_scale=0.5,
-                mutable=["quant"])
-            return mut["quant"]
+                ctx_kv=ctx_kv, mutable=["quant"])
+            # configs whose shapes route no fused kernel create no variables
+            return mut.get("quant", {})
 
         return build(params["unet"])
 

@@ -72,19 +72,36 @@ def sdedit_generate_waveform(
     else:
         ehs0 = gpt2_tokens
 
-    def unet_fn(model_in, t):
+    # step-invariant hoisting (models/hoist.py) — same serving optimization
+    # as the main pipeline, over the truncated schedule
+    ctx_kv = None
+    step_aux = None
+    if c.hoist_step_invariants and not c.unet.use_int8:
+        # (int8 serving keeps its own in-kernel K/V path — see pipeline.py)
+        from ap_adapter_tpu.models.hoist import (
+            precompute_cross_kv, precompute_temb_rows)
+
+        ctx_kv = precompute_cross_kv(
+            params["unet"], c.unet, ehs0, t5_hidden, t5_mask, c.dtype)
+        step_aux = {"temb": precompute_temb_rows(
+            params["unet"], c.unet, np.asarray(ts), c.dtype)}
+
+    def unet_fn(model_in, t, aux=None):
         tt = jnp.broadcast_to(t.astype(jnp.float32), (model_in.shape[0],))
         from ap_adapter_tpu.pipeline.pipeline import unet_variables
 
         return modules.unet.apply(
             unet_variables(params), model_in.astype(c.dtype), tt,
             ehs0, t5_hidden, t5_mask, ip_scale=ap_scale,
+            ctx_kv=ctx_kv,
+            temb_rows=aux["temb"] if aux is not None else None,
         )
 
     latents = ddim_sample_loop(
         unet_fn, latents, c.scheduler,
         num_inference_steps=num_inference_steps,
         guidance_scale=guidance_scale, do_cfg=True, timesteps=ts,
+        step_aux=step_aux,
     )
 
     mel_out = modules.vae.apply(
