@@ -287,7 +287,8 @@ class PipelineModules:
 class AudioLDM2Pipeline:
     """User-facing pipeline: owns params, jits generate per shape bucket."""
 
-    def __init__(self, config: PipelineConfig, params: Dict[str, Any], device=None):
+    def __init__(self, config: PipelineConfig, params: Dict[str, Any],
+                 device=None, mesh=None):
         import dataclasses
 
         from ap_adapter_tpu.ops.attention import _on_tpu
@@ -299,11 +300,20 @@ class AudioLDM2Pipeline:
                 unet=dataclasses.replace(config.unet, use_weight_prep=True))
         self.config = config
         self.modules = PipelineModules(config)
+        # data-parallel serving (SURVEY §2.5): params replicated over the
+        # mesh, the batch axis sharded over 'data' — generate() places inputs,
+        # jit + GSPMD propagate the sharding through the whole graph
+        self.mesh = mesh
         # commit params to device once — host (numpy) leaves would otherwise be
         # re-transferred on every jitted call (catastrophic through a relay)
         if params:
-            device = device or jax.devices()[0]
-            params = jax.device_put(params, device)
+            if mesh is not None:
+                from ap_adapter_tpu.parallel import mesh as mesh_lib
+
+                params = mesh_lib.replicate_params(mesh, params)
+            else:
+                device = device or jax.devices()[0]
+                params = jax.device_put(params, device)
         self.params = params
         self._jitted: Dict[Tuple, Any] = {}
         if (config.unet.use_int8 or config.unet.use_weight_prep) \
@@ -441,6 +451,15 @@ class AudioLDM2Pipeline:
         rng = jax.random.PRNGKey(seed)
         g = jnp.asarray(guidance_scale, jnp.float32)
         s = jnp.asarray(ap_scale, jnp.float32)
+        if self.mesh is not None:
+            from ap_adapter_tpu.parallel import mesh as mesh_lib
+
+            text_pos = mesh_lib.shard_batch(self.mesh, text_pos)
+            text_neg = mesh_lib.shard_batch(self.mesh, text_neg)
+            if fbank is not None:
+                fbank = mesh_lib.shard_batch(self.mesh, jnp.asarray(fbank))
+            rep = mesh_lib.replicated(self.mesh)
+            rng, g, s = (jax.device_put(x, rep) for x in (rng, g, s))
         if fbank is None:
             wav = self._jitted[key](self.params, rng, text_pos, text_neg, g, s)
         else:

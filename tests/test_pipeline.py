@@ -82,6 +82,33 @@ def test_ap_scale_changes_output(pipe, rng):
     assert not np.allclose(a, b)
 
 
+def test_sharded_generate_matches_single_device(pipe, rng):
+    """Data-parallel serving (SURVEY §2.5): generate over an 8-device mesh
+    must equal single-device generate on identical seeds — the mesh shards
+    the batch only, per-sample math is untouched."""
+
+    import jax
+    from ap_adapter_tpu.parallel import mesh as mesh_lib
+
+    assert jax.device_count() == 8
+    cfg = pipe.config
+    b = 8
+    pos, neg = _text(rng, cfg, b=b), _text(rng, cfg, b=b)
+    fbank = jnp.asarray(
+        rng.standard_normal((b, *cfg.audiomae.img_size)).astype(np.float32))
+    kw = dict(audio_length_in_s=0.2, num_inference_steps=2, guidance_scale=3.0,
+              ap_scale=0.5, time_pool=2, freq_pool=2, seed=0)
+
+    ref = pipe.generate(pos, neg, fbank, **kw)
+
+    mesh = mesh_lib.create_mesh()
+    sharded_pipe = AudioLDM2Pipeline(pipe.config, pipe.params, mesh=mesh)
+    out = sharded_pipe.generate(pos, neg, fbank, **kw)
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
 def test_latent_time_math():
     pipe_cfg = tiny_pipeline_config()
     p = AudioLDM2Pipeline(pipe_cfg, params={})
