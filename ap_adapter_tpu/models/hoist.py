@@ -71,6 +71,30 @@ def resnet_names(c: UNetConfig) -> list:
     return names
 
 
+def validate_site_names(unet_params: Dict[str, Any], c: UNetConfig) -> None:
+    """Structural check of the hoist<->unet naming contract.
+
+    attn_group_names()/resnet_names() mirror models/unet.py's module names by
+    string; a rename there would otherwise desynchronize silently (KeyError
+    deep inside a jit trace at best, wrong hoisting at worst). Called at
+    pipeline build — fails loudly with the missing names."""
+
+    missing = [n for n in attn_group_names(c) if n not in unet_params]
+    missing += [
+        n for n in resnet_names(c)
+        if n not in unet_params or "time_emb_proj" not in unet_params[n]
+    ]
+    for n in ("time_embedding_linear_1", "time_embedding_linear_2"):
+        if n not in unet_params:
+            missing.append(n)
+    if missing:
+        raise ValueError(
+            "models/hoist.py site names are out of sync with the UNet param "
+            f"tree — missing: {sorted(missing)}. attn_group_names()/"
+            "resnet_names() must mirror models/unet.py module names."
+        )
+
+
 def _pad_heads(k: jnp.ndarray, heads: int, d_in: int, d_p: int) -> jnp.ndarray:
     """[..., heads*d_in] -> [..., heads*d_p] (zero lanes per head)."""
 
@@ -123,13 +147,11 @@ def precompute_cross_kv(
 
     heads = c.num_attention_heads
     num_ip = c.adapter_num_tokens
-    has_ip = ehs0.shape[1] > num_ip
 
     from ap_adapter_tpu.ops.pallas_fused_block import _pad_head_dim
 
     out: Dict[str, Any] = {}
-    s0, s1 = ehs0.shape[1], ehs1.shape[1]
-    sk_text0 = num_ip if has_ip else s0
+    s1 = ehs1.shape[1]
     if t5_mask is not None:
         bias1 = (1.0 - t5_mask.astype(jnp.float32)) * -10000.0
         bias1 = jnp.pad(bias1, ((0, 0), (0, kv_row_pad(s1) - s1)))[:, None, :]
@@ -142,14 +164,21 @@ def precompute_cross_kv(
         d_p = _pad_head_dim(d_in) or d_in
         gp = unet_params[group]
         entry: Dict[str, Any] = {}
-        for idx, ctx in ((1, ehs0), (2, ehs1)):
-            if c.cross_attention_dims[idx] is None:
+        # mirror AttentionGroup's stream routing exactly (unet_blocks.py:795):
+        # idx<=1 -> stream0 (GPT-2+AudioMAE), idx>1 -> stream1 (T5) — every
+        # non-None dim gets a kv entry, so no site ever receives bias_pre
+        # without its hoisted K/V
+        for idx, dim in enumerate(c.cross_attention_dims):
+            if dim is None:
                 continue
+            ctx = ehs0 if idx <= 1 else ehs1
             ap = gp[f"attentions_{idx}"]["transformer_blocks"]["attn2"]
             wk = jnp.asarray(ap["to_k"]["kernel"], dtype)   # [L, Dc, inner]
             wv = jnp.asarray(ap["to_v"]["kernel"], dtype)
-            adapter = idx == 1 and c.cross_attention_dims[idx] == c.adapter_cross_attention_dim
-            if adapter and has_ip:
+            # same condition AttentionGroup passes as use_adapter
+            # (unet_blocks.py:808) — by dim, whichever stream it rides
+            adapter = dim == c.adapter_cross_attention_dim
+            if adapter and ctx.shape[1] > num_ip:
                 text = ctx[:, :num_ip]
                 ip = ctx[:, num_ip:]
             else:

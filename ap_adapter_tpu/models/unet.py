@@ -73,9 +73,16 @@ class AudioLDM2UNet(nn.Module):
             temb = nn.silu(temb)
             temb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="time_embedding_linear_2")(temb)
 
-        if c.class_embed_dim is not None and class_labels is not None and temb is not None:
+        if c.class_embed_dim is not None and class_labels is not None:
             # class-conditioned path (AudioLDM v1) — not wired for temb
-            # hoisting; its pipeline never passes temb_rows
+            # hoisting (precompute_temb_rows does not fold cemb in), so
+            # refuse the combination loudly instead of dropping conditioning
+            if temb is None:
+                raise ValueError(
+                    "class_labels conditioning is incompatible with hoisted "
+                    "temb_rows: the precomputed rows do not include the class "
+                    "embedding. Pass temb_rows=None for class-conditioned runs."
+                )
             # "simple_projection" class embedding (AudioLDM v1:
             # modeling path class_embed_type='simple_projection')
             cemb = nn.Dense(c.time_embed_dim, dtype=self.dtype, name="class_embedding")(

@@ -471,7 +471,10 @@ class CrossAttention(nn.Module):
                     wvi_raw = _pad_heads_in(wvi_raw, self.heads, d, d_p)
                 wki = jnp.asarray(wki_raw, self.dtype)
                 wvi = jnp.asarray(wvi_raw, self.dtype)
-            mb = mask_bias[:, 0, 0, :] if mask_bias is not None else None
+            # hoisted-bias fallback: if the UNet suppressed mask_bias in
+            # favor of the precomputed padded rows, recover [B, Sk] from them
+            mb = mask_bias[:, 0, 0, :] if mask_bias is not None else (
+                bias_pre[:, 0, : context.shape[1]] if bias_pre is not None else None)
             scale, bias = pre_ln
             return fused_ln_cross_attention_int8(
                 x, jnp.asarray(context, self.dtype), scale, bias,
@@ -490,8 +493,10 @@ class CrossAttention(nn.Module):
                 wvi_raw, _ = DenseParams(inner, use_bias=False, name="to_v_ip")(ctx_dim)
                 wki = jnp.asarray(wki_raw, self.dtype)
                 wvi = jnp.asarray(wvi_raw, self.dtype)
-            # [B,1,1,Sk] additive bias -> [B, Sk]
-            mb = mask_bias[:, 0, 0, :] if mask_bias is not None else None
+            # [B,1,1,Sk] additive bias -> [B, Sk]; same hoisted-bias fallback
+            # as the int8 route (a site passed bias_pre but no kv_pre)
+            mb = mask_bias[:, 0, 0, :] if mask_bias is not None else (
+                bias_pre[:, 0, : context.shape[1]] if bias_pre is not None else None)
             scale, bias = pre_ln
             return fused_ln_cross_attention_vjp(
                 x, jnp.asarray(context, self.dtype), scale, bias,

@@ -48,6 +48,18 @@ def cast_params_to(params, dtype):
     return jax.tree_util.tree_map(cast, params)
 
 
+def _merge_trees(old, new):
+    """Deep-merge two nested variable dicts; entries present in both keep
+    the ``old`` leaf (they are built from the same weights either way)."""
+
+    if not isinstance(old, dict) or not isinstance(new, dict):
+        return old
+    out = dict(new)
+    for k, v in old.items():
+        out[k] = _merge_trees(v, new[k]) if k in new else v
+    return out
+
+
 def unet_variables(params: Dict[str, Any]) -> Dict[str, Any]:
     """UNet apply-variables: params plus, in int8 serving mode, the "quant"
     collection of pre-quantized weights (built once by
@@ -245,8 +257,12 @@ class PipelineModules:
             from ap_adapter_tpu.models.hoist import (
                 precompute_cross_kv, precompute_temb_rows)
 
-            ctx_kv = precompute_cross_kv(
-                params["unet"], c.unet, ehs0, t5_hidden, t5_mask, c.dtype)
+            if not c.unet.use_int8:
+                # int8 serving re-projects K/V inside the kernel; building
+                # ctx_kv there would waste HBM and (by suppressing bias1 in
+                # the UNet) drop the T5 padding mask on the int8 cross route
+                ctx_kv = precompute_cross_kv(
+                    params["unet"], c.unet, ehs0, t5_hidden, t5_mask, c.dtype)
             ts_np = inference_timesteps(c.scheduler, num_inference_steps)
             step_aux = {"temb": precompute_temb_rows(
                 params["unet"], c.unet, ts_np, c.dtype)}
@@ -316,16 +332,47 @@ class AudioLDM2Pipeline:
                 params = jax.device_put(params, device)
         self.params = params
         self._jitted: Dict[Tuple, Any] = {}
+        self._quant_built: set = set()
+        if config.hoist_step_invariants and params:
+            # fail at build time, not deep inside a jit trace, if the
+            # hoist<->unet string name contract ever desynchronizes
+            from ap_adapter_tpu.models.hoist import validate_site_names
+
+            validate_site_names(params["unet"], config.unet)
         if (config.unet.use_int8 or config.unet.use_weight_prep) \
                 and params and "unet_quant" not in params:
             # int8 / weight-prep serving mode: quantize (or head-pad) the
             # routed UNet weights ONCE here (one jitted dummy forward with
             # mutable=["quant"]); the step graph then only reads the
             # prepared copies — no per-step requant/re-pad
-            self.params = dict(params)
-            self.params["unet_quant"] = self._build_unet_quant(params)
+            self._ensure_unet_quant(self.latent_time_for_seconds(10.0))
 
-    def _build_unet_quant(self, params) -> Dict[str, Any]:
+    def _ensure_unet_quant(self, latent_time: int) -> None:
+        """Extend the "quant" collection for a new latent geometry.
+
+        The fused-kernel routing guards are shape-dependent
+        (n >= _SMALL_ATTN_MIN_N, the AP_FUSE_SMALL_ATTN env): a latent_time
+        larger than any geometry built so far can route a site that has no
+        prepared variable yet, which would crash in self.variable() inside
+        the immutable apply. Build the collection at THIS geometry too and
+        deep-merge (existing entries win — same weights either way)."""
+
+        c = self.config
+        if not (c.unet.use_int8 or c.unet.use_weight_prep) or not self.params:
+            return
+        if latent_time in self._quant_built:
+            return
+        new = self._build_unet_quant(self.params, latent_time)
+        if self.mesh is not None:
+            from ap_adapter_tpu.parallel import mesh as mesh_lib
+
+            new = mesh_lib.replicate_params(self.mesh, new)
+        cur = self.params.get("unet_quant")
+        self.params = dict(self.params)
+        self.params["unet_quant"] = new if cur is None else _merge_trees(cur, new)
+        self._quant_built.add(latent_time)
+
+    def _build_unet_quant(self, params, latent_time: Optional[int] = None) -> Dict[str, Any]:
         """Run one batch-1 UNet forward at the real latent geometry with the
         "quant" collection mutable — every routed int8 site writes its
         quantized weights (models/unet_blocks.py self.variable calls). Real
@@ -333,7 +380,8 @@ class AudioLDM2Pipeline:
         site that doesn't route doesn't create its variables."""
 
         c = self.config
-        lt = self.latent_time_for_seconds(10.0)
+        lt = latent_time if latent_time is not None \
+            else self.latent_time_for_seconds(10.0)
         lf = c.vocoder.model_in_dim // c.vae.scale_factor
         sample = jnp.zeros((1, lt, lf, c.unet.in_channels), jnp.float32)
         ts = jnp.zeros((1,), jnp.float32)
@@ -360,7 +408,9 @@ class AudioLDM2Pipeline:
             # configs whose shapes route no fused kernel create no variables
             return mut.get("quant", {})
 
-        return build(params["unet"])
+        import flax.core
+
+        return flax.core.unfreeze(build(params["unet"]))
 
     @classmethod
     def from_random(
@@ -422,6 +472,7 @@ class AudioLDM2Pipeline:
 
         c = self.config
         latent_time = self.latent_time_for_seconds(audio_length_in_s)
+        self._ensure_unet_quant(latent_time)
         key = (
             "gen", text_pos.clap_ids.shape, text_pos.t5_ids.shape,
             fbank is None, num_inference_steps, time_pool, freq_pool, latent_time,

@@ -147,6 +147,10 @@ def generate_style_transfer(
     if fbank is not None:
         fbank = jnp.broadcast_to(fbank, (b, *fbank.shape[1:]))
 
+    # the quant collection is geometry-dependent; make sure this latent
+    # length has its prepared variables before tracing (pipeline.py)
+    pipe._ensure_unet_quant(mel_frames // c.vae.scale_factor)
+
     # one jitted executable per shape bucket, cached on the pipeline —
     # re-jitting per call would re-trace the full graph every time
     key = ("sdedit", b, wav.shape[-1], fbank is not None,

@@ -25,6 +25,12 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 OUT = os.path.join(REPO, "tests", "golden")
 
+# fixtures are captured AND consumed on CPU (tests/conftest.py forces cpu);
+# the environment's sitecustomize pins JAX_PLATFORMS=axon, so override here
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def _flat(params, prefix="param"):
     """Flax param tree -> {"param/a/b": array} npz-safe dict."""
@@ -230,12 +236,525 @@ def make_adapter():
     dump("adapter_cn", 4, 16, 64, 96, "cn")
 
 
+# --- round-4 fixtures (VERDICT r3 item 2) ---
+
+
+def _load_reference_models_mae():
+    """Import the reference's own MAE encoder (audio_encoder/models_mae.py)
+    as the oracle, with a minimal stand-in for the two timm symbols it
+    imports. The stand-in Block replicates timm 0.4.x
+    vision_transformer.Block math (pre-LN attn + MLP, fused qkv) — the same
+    structure convert/torch_import.audiomae_encoder_params maps."""
+
+    import importlib.util
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    class _Attention(nn.Module):
+        def __init__(self, dim, num_heads, qkv_bias=False):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            qkv = self.qkv(x).reshape(b, n, 3, self.num_heads, c // self.num_heads)
+            qkv = qkv.permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(b, n, c)
+            return self.proj(x)
+
+    class _Mlp(nn.Module):
+        def __init__(self, dim, hidden):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, hidden)
+            self.act = nn.GELU()
+            self.fc2 = nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class _Block(nn.Module):
+        def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False,
+                     norm_layer=nn.LayerNorm, **_):
+            super().__init__()
+            self.norm1 = norm_layer(dim)
+            self.attn = _Attention(dim, num_heads, qkv_bias=qkv_bias)
+            self.norm2 = norm_layer(dim)
+            self.mlp = _Mlp(dim, int(dim * mlp_ratio))
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            x = x + self.mlp(self.norm2(x))
+            return x
+
+    def _to_2tuple(v):
+        return v if isinstance(v, (tuple, list)) else (v, v)
+
+    import sys as _sys
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+    vit = types.ModuleType("timm.models.vision_transformer")
+    layers.to_2tuple = _to_2tuple
+    vit.Block = _Block
+    timm.models = models
+    models.layers = layers
+    models.vision_transformer = vit
+    _sys.modules.setdefault("timm", timm)
+    _sys.modules["timm.models"] = models
+    _sys.modules["timm.models.layers"] = layers
+    _sys.modules["timm.models.vision_transformer"] = vit
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_models_mae", "/root/reference/audio_encoder/models_mae.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def make_audiomae():
+    """Reference models_mae.py (its own code, via the timm stand-in) as the
+    oracle for the AudioMAE encoder + the AudioMAE.py:148-182 pooling."""
+
+    from functools import partial
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from ap_adapter_tpu.convert import torch_import as ti
+
+    models_mae = _load_reference_models_mae()
+    cfg = dict(img_size=(64, 32), patch_size=16, embed_dim=32, depth=2,
+               num_heads=2, contextual_depth=0)
+    torch.manual_seed(0)
+    mae = models_mae.MaskedAutoencoderViT(
+        img_size=(64, 32), patch_size=16, stride=16, in_chans=1,
+        embed_dim=32, depth=2, num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=4.0, norm_layer=partial(nn.LayerNorm, eps=1e-6),
+        audio_exp=True, contextual_depth=0, pos_trainable=False,
+    ).eval()
+
+    rng = np.random.default_rng(3)
+    fbank = rng.standard_normal((2, 64, 32)).astype(np.float32)
+    x = torch.from_numpy(fbank)[:, None]  # [B, 1, T, F] NCHW
+    with torch.no_grad():
+        tokens = mae.forward_encoder_no_random_mask_no_average(x)
+        want_tokens = tokens.numpy()
+        want_ctx = mae.forward_encoder_no_mask(x).numpy()
+
+        # AudioMAEConditionCTPoolRand.pool (AudioMAE.py:148-182): drop CLS,
+        # (AvgPool2d + MaxPool2d)/2 with kernel == stride on the (T/16, F/16)
+        # grid; tiny grid here is (4, 2)
+        rep = tokens[:, 1:, :].transpose(1, 2).reshape(2, 32, 4, 2)
+        pooled = {}
+        for tp, fp in ((1, 1), (2, 2), (4, 2)):
+            p = (F.avg_pool2d(rep, (tp, fp)) + F.max_pool2d(rep, (tp, fp))) / 2
+            pooled[f"want_pool_{tp}x{fp}"] = p.flatten(2).transpose(1, 2).numpy()
+
+    params = ti.audiomae_condition_params(_np_sd(mae), depth=2)
+    _save("audiomae", config_json=json.dumps(cfg), fbank=fbank,
+          want_tokens=want_tokens, want_ctx=want_ctx, **pooled, **_flat(params))
+
+
+def make_projection():
+    """Torch oracle replicating AudioLDM2ProjectionModel
+    (reference modeling_audioldm2.py:82-145 + add_special_tokens :47-59)."""
+
+    import torch
+    import torch.nn as nn
+
+    from ap_adapter_tpu.convert import torch_import as ti
+
+    cfg = dict(text_encoder_dim=16, text_encoder_1_dim=24, language_model_dim=32)
+
+    class Oracle(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.projection = nn.Linear(16, 32)
+            self.projection_1 = nn.Linear(24, 32)
+            self.sos_embed = nn.Parameter(torch.randn(32))
+            self.eos_embed = nn.Parameter(torch.randn(32))
+            self.sos_embed_1 = nn.Parameter(torch.randn(32))
+            self.eos_embed_1 = nn.Parameter(torch.randn(32))
+
+        @staticmethod
+        def _special(h, m, sos, eos):
+            b = h.shape[0]
+            if m is not None:
+                one = m.new_ones((b, 1))
+                m = torch.cat([one, m, one], dim=-1)
+            sos = sos.expand(b, 1, -1)
+            eos = eos.expand(b, 1, -1)
+            return torch.cat([sos, h, eos], dim=1), m
+
+        def forward(self, h0, h1, m0, m1):
+            h0, m0 = self._special(self.projection(h0), m0,
+                                   self.sos_embed, self.eos_embed)
+            h1, m1 = self._special(self.projection_1(h1), m1,
+                                   self.sos_embed_1, self.eos_embed_1)
+            h = torch.cat([h0, h1], dim=1)
+            m = torch.cat([m0, m1], dim=-1) if (m0 is not None and m1 is not None) else None
+            return h, m
+
+    torch.manual_seed(4)
+    oracle = Oracle().eval()
+    rng = np.random.default_rng(4)
+    clap = rng.standard_normal((2, 1, 16)).astype(np.float32)
+    t5 = rng.standard_normal((2, 4, 24)).astype(np.float32)
+    m0 = np.ones((2, 1), np.int64)
+    m1 = np.array([[1, 1, 1, 1], [1, 1, 0, 0]], np.int64)
+    with torch.no_grad():
+        want_h, want_m = oracle(
+            torch.from_numpy(clap), torch.from_numpy(t5),
+            torch.from_numpy(m0), torch.from_numpy(m1))
+    params = ti.projection_params(_np_sd(oracle))
+    _save("projection", config_json=json.dumps(cfg), clap=clap, t5=t5,
+          m0=m0, m1=m1, want_h=want_h.numpy(), want_m=want_m.numpy(),
+          **_flat(params))
+
+
+def _build_torch_vae(block_out_channels, latent_channels, groups, layers_per_block):
+    """diffusers-AutoencoderKL-shaped torch oracle, state-dict key-compatible
+    with convert/torch_import.vae_params (the naming pinned from the real
+    cvssp/audioldm2 checkpoint by tests/test_convert_e2e.py)."""
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Resnet(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.norm1 = nn.GroupNorm(groups, cin, eps=1e-6)
+            self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+            self.norm2 = nn.GroupNorm(groups, cout, eps=1e-6)
+            self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+            self.conv_shortcut = nn.Conv2d(cin, cout, 1) if cin != cout else None
+
+        def forward(self, x):
+            h = self.conv1(F.silu(self.norm1(x)))
+            h = self.conv2(F.silu(self.norm2(h)))
+            if self.conv_shortcut is not None:
+                x = self.conv_shortcut(x)
+            return x + h
+
+    class Attn(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.group_norm = nn.GroupNorm(groups, c, eps=1e-6)
+            self.to_q = nn.Linear(c, c)
+            self.to_k = nn.Linear(c, c)
+            self.to_v = nn.Linear(c, c)
+            self.to_out = nn.ModuleList([nn.Linear(c, c)])
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            y = self.group_norm(x).view(b, c, h * w).transpose(1, 2)
+            q, k, v = self.to_q(y), self.to_k(y), self.to_v(y)
+            a = torch.softmax(q @ k.transpose(1, 2) * c ** -0.5, dim=-1)
+            o = self.to_out[0](a @ v)
+            return x + o.transpose(1, 2).view(b, c, h, w)
+
+    class Down(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+
+        def forward(self, x):
+            return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+    class Up(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = nn.Conv2d(c, c, 3, padding=1)
+
+        def forward(self, x):
+            return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+    class Blocks(nn.Module):
+        def __init__(self, resnets, samplers_attr=None, samplers=None):
+            super().__init__()
+            self.resnets = nn.ModuleList(resnets)
+            if samplers is not None:
+                setattr(self, samplers_attr, nn.ModuleList(samplers))
+            self._samplers_attr = samplers_attr if samplers is not None else None
+
+        def forward(self, x):
+            for r in self.resnets:
+                x = r(x)
+            if self._samplers_attr:
+                for s in getattr(self, self._samplers_attr):
+                    x = s(x)
+            return x
+
+    class Mid(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.resnets = nn.ModuleList([Resnet(c, c), Resnet(c, c)])
+            self.attentions = nn.ModuleList([Attn(c)])
+
+        def forward(self, x):
+            x = self.resnets[0](x)
+            x = self.attentions[0](x)
+            return self.resnets[1](x)
+
+    ch = block_out_channels
+    n = len(ch)
+
+    class Encoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = nn.Conv2d(1, ch[0], 3, padding=1)
+            blocks, prev = [], ch[0]
+            for b in range(n):
+                res = []
+                for l in range(layers_per_block):
+                    res.append(Resnet(prev if l == 0 else ch[b], ch[b]))
+                blocks.append(Blocks(
+                    res, "downsamplers", [Down(ch[b])] if b < n - 1 else None))
+                prev = ch[b]
+            self.down_blocks = nn.ModuleList(blocks)
+            self.mid_block = Mid(ch[-1])
+            self.conv_norm_out = nn.GroupNorm(groups, ch[-1], eps=1e-6)
+            self.conv_out = nn.Conv2d(ch[-1], 2 * latent_channels, 3, padding=1)
+
+        def forward(self, x):
+            x = self.conv_in(x)
+            for blk in self.down_blocks:
+                x = blk(x)
+            x = self.mid_block(x)
+            return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+    rev = list(reversed(ch))
+
+    class Decoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = nn.Conv2d(latent_channels, rev[0], 3, padding=1)
+            self.mid_block = Mid(rev[0])
+            blocks, prev = [], rev[0]
+            for b in range(n):
+                res = []
+                for l in range(layers_per_block + 1):
+                    res.append(Resnet(prev if l == 0 else rev[b], rev[b]))
+                blocks.append(Blocks(
+                    res, "upsamplers", [Up(rev[b])] if b < n - 1 else None))
+                prev = rev[b]
+            self.up_blocks = nn.ModuleList(blocks)
+            self.conv_norm_out = nn.GroupNorm(groups, rev[-1], eps=1e-6)
+            self.conv_out = nn.Conv2d(rev[-1], 1, 3, padding=1)
+
+        def forward(self, z):
+            z = self.conv_in(z)
+            z = self.mid_block(z)
+            for blk in self.up_blocks:
+                z = blk(z)
+            return self.conv_out(F.silu(self.conv_norm_out(z)))
+
+    class VAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = Encoder()
+            self.decoder = Decoder()
+            self.quant_conv = nn.Conv2d(2 * latent_channels, 2 * latent_channels, 1)
+            self.post_quant_conv = nn.Conv2d(latent_channels, latent_channels, 1)
+
+        def moments(self, x):
+            h = self.quant_conv(self.encoder(x))
+            mean, logvar = torch.chunk(h, 2, dim=1)
+            return mean, torch.clamp(logvar, -30.0, 20.0)
+
+        def decode(self, z):
+            return self.decoder(self.post_quant_conv(z))
+
+    return VAE()
+
+
+def make_vae():
+    import torch
+
+    from ap_adapter_tpu.convert import torch_import as ti
+    from ap_adapter_tpu.configs import VAEConfig
+
+    cfg = dict(in_channels=1, out_channels=1, latent_channels=4,
+               block_out_channels=(8, 16), layers_per_block=1,
+               norm_num_groups=4, mid_block_attention=True)
+    torch.manual_seed(5)
+    vae = _build_torch_vae((8, 16), 4, 4, 1).eval()
+
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((2, 16, 8)).astype(np.float32)  # [B, T, F]
+    z = rng.standard_normal((2, 4, 8, 4)).astype(np.float32)  # [B, C, T/2, F/2]
+    with torch.no_grad():
+        mean, logvar = vae.moments(torch.from_numpy(mel)[:, None])
+        dec = vae.decode(torch.from_numpy(z))
+    params = ti.vae_params(_np_sd(vae), VAEConfig(**cfg))
+    _save("vae", config_json=json.dumps(cfg), mel=mel, z=z,
+          want_mean=mean.numpy(), want_logvar=logvar.numpy(),
+          want_dec=dec.numpy(), **_flat(params))
+
+
+def make_t2d_block():
+    """Full adapter-active Transformer2DModel block oracle: torch replica of
+    the diffusers block glue (GroupNorm -> 1x1 proj_in -> [self-attn,
+    cross-attn, GEGLU FF] -> 1x1 proj_out + residual, the structure
+    convert/torch_import._transformer2d_params pins) with the attention run
+    by the REFERENCE'S OWN processors (APadapter/ap_adapter/
+    attention_processor.py: AttnProcessor2_0 + IPAttnProcessor2_0)."""
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    import test_golden_adapter as tga
+    from ap_adapter_tpu.convert import torch_import as ti
+
+    c, heads, dim_head, cross_dim, groups = 32, 2, 16, 24, 8
+    num_tokens, scale = 8, 0.55
+    inner = heads * dim_head
+
+    class FFNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            geglu = nn.Module()
+            geglu.proj = nn.Linear(inner, inner * 8)  # GEGLU: 2 * 4*inner
+            self.net = nn.ModuleList([geglu, nn.Dropout(0.0), nn.Linear(inner * 4, inner)])
+
+        def forward(self, x):
+            h, gate = self.net[0].proj(x).chunk(2, dim=-1)
+            return self.net[2](h * F.gelu(gate))
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(inner)
+            self.attn1 = tga.RefAttention(inner, None, heads, dim_head)
+            self.norm2 = nn.LayerNorm(inner)
+            self.attn2 = tga.RefAttention(inner, cross_dim, heads, dim_head)
+            self.attn2.processor = tga.ref.IPAttnProcessor2_0(
+                hidden_size=inner, name="t", cross_attention_dim=cross_dim,
+                num_tokens=num_tokens, scale=scale)
+            self.norm3 = nn.LayerNorm(inner)
+            self.ff = FFNet()
+            self._proc1 = tga.ref.AttnProcessor2_0()
+
+        def forward(self, y, ctx):
+            y = y + self._proc1(self.attn1, self.norm1(y))
+            y = y + self.attn2.processor(self.attn2, self.norm2(y),
+                                         encoder_hidden_states=ctx)
+            return y + self.ff(self.norm3(y))
+
+    class T2D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm = nn.GroupNorm(groups, c, eps=1e-6, affine=True)
+            self.proj_in = nn.Conv2d(c, inner, 1)
+            self.transformer_blocks = nn.ModuleList([Block()])
+            self.proj_out = nn.Conv2d(inner, c, 1)
+
+        def forward(self, x, ctx):
+            b, _, h, w = x.shape
+            y = self.proj_in(self.norm(x))
+            y = y.flatten(2).transpose(1, 2)
+            y = self.transformer_blocks[0](y, ctx)
+            y = y.transpose(1, 2).view(b, inner, h, w)
+            return self.proj_out(y) + x
+
+    torch.manual_seed(6)
+    oracle = T2D().eval()
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, c, 4, 2)).astype(np.float32)  # NCHW
+    ctx = rng.standard_normal((2, num_tokens + 16, cross_dim)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x), torch.from_numpy(ctx)).numpy()
+
+    sd = {f"t2d.{k}": v for k, v in _np_sd(oracle).items()}
+    params = ti._transformer2d_params(sd, "t2d", num_layers=1, has_adapter=True)
+    meta = dict(heads=heads, dim_head=dim_head, cross_dim=cross_dim,
+                groups=groups, num_tokens=num_tokens, scale=scale)
+    _save("t2d_block", meta_json=json.dumps(meta), x=x, ctx=ctx, want=want,
+          **_flat(params))
+
+
+
+def _param_checksums(params):
+    """{submodel: sum of |leaf| sums} in float64 (order-independent)."""
+
+    import jax
+
+    return {
+        name: float(sum(np.abs(np.asarray(x, np.float64)).sum()
+                        for x in jax.tree_util.tree_leaves(tree)))
+        for name, tree in params.items()
+    }
+
+
+def make_tiny_e2e():
+    """REGRESSION fixture (self-captured, NOT a torch-oracle parity check):
+    the tiny-config pipeline's own end-to-end waveform, pinned so refactors
+    of the composed graph (CFG batching, DDIM scan, hoisting, VAE decode,
+    vocoder) cannot silently change numerics. Captured on CPU; the test
+    compares on CPU."""
+
+    import jax
+
+    from ap_adapter_tpu.configs import tiny_pipeline_config
+    from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline, TextBatch
+
+    assert jax.default_backend() == "cpu", "capture must run on CPU"
+    cfg = tiny_pipeline_config()
+    pipe = AudioLDM2Pipeline.from_random(cfg, seed=0)
+    rng = np.random.default_rng(7)
+
+    def text(b=1):
+        import jax.numpy as jnp
+
+        return TextBatch(
+            clap_ids=jnp.asarray(rng.integers(2, cfg.clap.vocab_size, (b, 6)), jnp.int32),
+            clap_mask=jnp.ones((b, 6), jnp.int32),
+            t5_ids=jnp.asarray(rng.integers(2, cfg.t5.vocab_size, (b, 5)), jnp.int32),
+            t5_mask=jnp.ones((b, 5), jnp.int32),
+        )
+
+    pos, neg = text(), text()
+    fbank = rng.standard_normal((1, *cfg.audiomae.img_size)).astype(np.float32)
+    wav = pipe.generate(pos, neg, fbank, audio_length_in_s=0.2,
+                        num_inference_steps=4, guidance_scale=3.0,
+                        ap_scale=0.5, time_pool=2, freq_pool=2, seed=0)
+    # params are NOT stored (10 MB of incompressible random fp32): they are
+    # reproducible from from_random(seed=0). A per-submodel L1 checksum pins
+    # the fast_init stream — if numpy's Generator output ever changes, the
+    # consuming test skips loudly instead of false-failing.
+    sums = _param_checksums(pipe.params)
+    _save("tiny_e2e",
+          clap_ids=np.asarray(pos.clap_ids), t5_ids=np.asarray(pos.t5_ids),
+          neg_clap_ids=np.asarray(neg.clap_ids), neg_t5_ids=np.asarray(neg.t5_ids),
+          fbank=fbank, want_wav=wav,
+          checksum_names=np.array(sorted(sums)), 
+          checksum_values=np.array([sums[k] for k in sorted(sums)], np.float64))
+
+
 def main() -> None:
     make_clap_text()
     make_t5()
     make_gpt2()
     make_vocoder()
     make_adapter()
+    make_audiomae()
+    make_projection()
+    make_vae()
+    make_t2d_block()
+    make_tiny_e2e()
 
 
 if __name__ == "__main__":

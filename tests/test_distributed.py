@@ -9,6 +9,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -19,6 +20,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.skipif(
+    (os.cpu_count() or 1) < 2,
+    reason="two jax processes compiling concurrently thrash a 1-CPU host "
+           "(each child has a 600 s budget)",
+)
 def test_two_process_train_step():
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()

@@ -119,6 +119,124 @@ def test_golden_adapter_fixture(name):
     np.testing.assert_allclose(np.asarray(out), d["want"], atol=2e-5, rtol=2e-5)
 
 
+def test_golden_audiomae_encoder_and_pooling():
+    """Oracle: the reference's own models_mae.py (imported via a timm
+    stand-in by make_golden_fixtures.make_audiomae) — final-norm path,
+    contextual-average path, and the AudioMAE.py:148-182 (avg+max)/2 pooling."""
+
+    params, d = _load("audiomae")
+    from ap_adapter_tpu.models.audiomae import AudioMAECondition, AudioMAEEncoder
+
+    cfg = configs.AudioMAEConfig(**d["config"])
+    fbank = jnp.asarray(d["fbank"])
+
+    enc = AudioMAEEncoder(cfg)
+    got = enc.apply({"params": params["audiomae"]}, fbank)
+    np.testing.assert_allclose(np.asarray(got), d["want_tokens"], rtol=1e-4, atol=1e-5)
+
+    ctx = enc.apply({"params": params["audiomae"]}, fbank,
+                    method=AudioMAEEncoder.contextual)
+    np.testing.assert_allclose(np.asarray(ctx), d["want_ctx"], rtol=1e-4, atol=1e-5)
+
+    cond = AudioMAECondition(cfg)
+    for tp, fp in ((1, 1), (2, 2), (4, 2)):
+        pooled = cond.apply({"params": params}, fbank, tp, fp)
+        np.testing.assert_allclose(
+            np.asarray(pooled), d[f"want_pool_{tp}x{fp}"], rtol=1e-4, atol=1e-5)
+
+
+def test_golden_projection():
+    """Oracle: torch replica of AudioLDM2ProjectionModel (reference
+    modeling_audioldm2.py:82-145): per-stream linear + SOS/EOS insertion +
+    mask extension + [CLAP | T5] concat."""
+
+    params, d = _load("projection")
+    from ap_adapter_tpu.models.projection import ProjectionModel
+
+    got_h, got_m = ProjectionModel(configs.ProjectionConfig(**d["config"])).apply(
+        {"params": params}, jnp.asarray(d["clap"]), jnp.asarray(d["t5"]),
+        jnp.asarray(d["m0"]), jnp.asarray(d["m1"]))
+    np.testing.assert_allclose(np.asarray(got_h), d["want_h"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_m), d["want_m"])
+
+
+def test_golden_vae_moments_and_decode():
+    """Oracle: torch replica of diffusers AutoencoderKL (the key naming the
+    converter pins from the real checkpoint) — encoder moments + decode."""
+
+    params, d = _load("vae")
+    from ap_adapter_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(configs.VAEConfig(**d["config"]))
+    mean, logvar = vae.apply({"params": params}, jnp.asarray(d["mel"])[..., None],
+                             method=AutoencoderKL.moments)
+    np.testing.assert_allclose(np.asarray(mean).transpose(0, 3, 1, 2),
+                               d["want_mean"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logvar).transpose(0, 3, 1, 2),
+                               d["want_logvar"], rtol=1e-4, atol=1e-5)
+
+    dec = vae.apply({"params": params}, jnp.asarray(d["z"].transpose(0, 2, 3, 1)),
+                    method=AutoencoderKL.decode)
+    np.testing.assert_allclose(np.asarray(dec).transpose(0, 3, 1, 2),
+                               d["want_dec"], rtol=1e-4, atol=2e-5)
+
+
+def test_golden_t2d_block():
+    """Oracle: torch replica of the diffusers Transformer2DModel glue with
+    the attention run by the REFERENCE'S OWN processors (AttnProcessor2_0 +
+    IPAttnProcessor2_0) — one full adapter-active UNet attention block."""
+
+    params, d = _load("t2d_block")
+    from ap_adapter_tpu.models.unet_blocks import Transformer2DModel
+
+    m = d["meta"]
+    mod = Transformer2DModel(
+        heads=int(m["heads"]), dim_head=int(m["dim_head"]), num_layers=1,
+        cross_attention_dim=int(m["cross_dim"]), use_adapter=True,
+        num_ip_tokens=int(m["num_tokens"]), groups=int(m["groups"]))
+    x = jnp.asarray(d["x"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    out = mod.apply({"params": params}, x, jnp.asarray(d["ctx"]),
+                    ip_scale=float(m["scale"]))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               d["want"], atol=2e-5, rtol=2e-5)
+
+
+def test_tiny_e2e_regression():
+    """REGRESSION pin (self-captured, not a torch oracle): the tiny-config
+    pipeline's end-to-end waveform at fixed seeds. Catches silent numeric
+    changes to the composed graph (CFG batching, hoisting, DDIM scan, VAE
+    decode, vocoder). Params are rebuilt from from_random(seed=0); a stored
+    checksum verifies the fast_init stream is unchanged first."""
+
+    _, d = _load("tiny_e2e")
+    from ap_adapter_tpu.configs import tiny_pipeline_config
+    from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline, TextBatch
+
+    cfg = tiny_pipeline_config()
+    pipe = AudioLDM2Pipeline.from_random(cfg, seed=0)
+    sums = {
+        name: float(sum(np.abs(np.asarray(x, np.float64)).sum()
+                        for x in jax.tree_util.tree_leaves(tree)))
+        for name, tree in pipe.params.items()
+    }
+    want_sums = dict(zip([str(n) for n in d["checksum_names"]],
+                         d["checksum_values"]))
+    if not all(np.isclose(sums[n], want_sums[n], rtol=1e-6) for n in want_sums):
+        pytest.skip("fast_init RNG stream changed — regenerate tiny_e2e "
+                    "(scripts/make_golden_fixtures.py)")
+
+    def text(clap_ids, t5_ids):
+        return TextBatch(
+            clap_ids=jnp.asarray(clap_ids), clap_mask=jnp.ones_like(jnp.asarray(clap_ids)),
+            t5_ids=jnp.asarray(t5_ids), t5_mask=jnp.ones_like(jnp.asarray(t5_ids)))
+
+    wav = pipe.generate(
+        text(d["clap_ids"], d["t5_ids"]), text(d["neg_clap_ids"], d["neg_t5_ids"]),
+        jnp.asarray(d["fbank"]), audio_length_in_s=0.2, num_inference_steps=4,
+        guidance_scale=3.0, ap_scale=0.5, time_pool=2, freq_pool=2, seed=0)
+    np.testing.assert_allclose(wav, d["want_wav"], atol=2e-3, rtol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # Part (b): real-checkpoint stage dumps (scripts/capture_reference.py)
 # ---------------------------------------------------------------------------

@@ -115,3 +115,58 @@ def test_latent_time_math():
     # tiny vocoder upsamples 16x at 16 kHz -> 1 ms per frame; 0.2 s -> 200
     # frames -> /4 latent = 50
     assert p.latent_time_for_seconds(0.2) == 50
+
+
+def test_hoist_name_contract_fires(pipe):
+    """A renamed UNet module must trip the structural check at build time
+    (models/hoist.validate_site_names), not a KeyError inside a jit trace."""
+
+    import jax
+
+    from ap_adapter_tpu.models.hoist import validate_site_names
+
+    cfg = pipe.config
+    good = jax.tree_util.tree_map(lambda x: x, pipe.params)  # shallow-ish copy
+    validate_site_names(good["unet"], cfg.unet)  # sane tree passes
+
+    broken = dict(good["unet"])
+    broken["mid_resnet_0_RENAMED"] = broken.pop("mid_resnet_0")
+    with pytest.raises(ValueError, match="mid_resnet_0"):
+        validate_site_names(broken, cfg.unet)
+
+    # and the pipeline constructor runs the check when hoisting is on
+    bad_params = dict(good)
+    bad_params["unet"] = broken
+    assert cfg.hoist_step_invariants
+    with pytest.raises(ValueError, match="out of sync"):
+        AudioLDM2Pipeline(cfg, bad_params)
+
+
+def test_merge_trees_prefers_existing():
+    from ap_adapter_tpu.pipeline.pipeline import _merge_trees
+
+    old = {"a": {"x": 1}, "b": 2}
+    new = {"a": {"x": 99, "y": 3}, "c": 4}
+    out = _merge_trees(old, new)
+    assert out == {"a": {"x": 1, "y": 3}, "b": 2, "c": 4}
+    # inputs not mutated
+    assert old == {"a": {"x": 1}, "b": 2}
+
+
+def test_ensure_unet_quant_extends_per_geometry(pipe):
+    """New latent geometries extend (never replace) the quant collection and
+    are only built once each."""
+
+    import dataclasses
+
+    cfg = pipe.config.replace(
+        unet=dataclasses.replace(pipe.config.unet, use_weight_prep=True))
+    p = AudioLDM2Pipeline(cfg, pipe.params)
+    built0 = set(p._quant_built)
+    assert built0  # the 10 s default geometry was built at construction
+
+    lt = p.latent_time_for_seconds(0.2)
+    p._ensure_unet_quant(lt)
+    assert lt in p._quant_built
+    p._ensure_unet_quant(lt)  # idempotent
+    assert len(p._quant_built) == len(built0 | {lt})
