@@ -243,6 +243,12 @@ class UNetConfig:
     # adapter (decoupled audio KV) settings — reference attention_processor.py:297-470
     adapter_cross_attention_dim: int = 768  # only 768-dim sites get the adapter
     adapter_num_tokens: int = 8  # first 8 tokens = GPT-2, rest = AudioMAE
+    # ControlNet-branch attention semantics (reference CNAttnProcessor2_0,
+    # attention_processor.py:538-623): drop the trailing AudioMAE tokens from
+    # the 768-dim stream and attend TEXT-ONLY with no adapter K/V. Used when
+    # this UNet is instantiated as a ControlNet copy; adapter params are not
+    # created in this mode.
+    cn_text_only: bool = False
     use_pallas_attention: bool = False  # fused dual-KV kernel (TPU only)
     # fused GroupNorm+SiLU Pallas kernel at the resnet norm sites — opt-in
     # (measured parity-or-slower vs XLA's fused GN at UNet shapes,

@@ -147,6 +147,11 @@ def precompute_cross_kv(
 
     heads = c.num_attention_heads
     num_ip = c.adapter_num_tokens
+    if c.cn_text_only:
+        # the UNet strips ehs0 to its text tokens AFTER this precompute
+        # would have projected the full context — rows would disagree
+        raise ValueError("K/V hoisting is not supported for cn_text_only "
+                         "(ControlNet-branch) UNets; pass ctx_kv=None")
 
     from ap_adapter_tpu.ops.pallas_fused_block import _pad_head_dim
 

@@ -95,6 +95,11 @@ class AudioLDM2UNet(nn.Module):
 
         ehs0 = encoder_hidden_states.astype(self.dtype)
         ehs1 = encoder_hidden_states_1.astype(self.dtype)
+        if c.cn_text_only and ehs0.shape[1] > c.adapter_num_tokens:
+            # ControlNet-branch semantics (reference CNAttnProcessor2_0,
+            # attention_processor.py:585-586): keep only the leading text
+            # tokens; the adapter branch below is also disabled
+            ehs0 = ehs0[:, : c.adapter_num_tokens]
 
         # under remat, every resnet / attention group recomputes its forward
         # during the backward pass: activation memory and the bwd graph both
@@ -110,7 +115,7 @@ class AudioLDM2UNet(nn.Module):
                 dim_head=block_ch // heads,
                 cross_attention_dims=c.cross_attention_dims,
                 transformer_layers=c.transformer_layers_per_block,
-                adapter_dim=c.adapter_cross_attention_dim,
+                adapter_dim=None if c.cn_text_only else c.adapter_cross_attention_dim,
                 num_ip_tokens=c.adapter_num_tokens,
                 use_pallas=c.use_pallas_attention,
                 use_int8=c.use_int8,

@@ -265,3 +265,45 @@ def test_nearest_resize_matches_torch(rng):
         ).numpy().transpose(0, 2, 3, 1)
         got = np.asarray(nearest_resize_2d(jnp.asarray(x), th, tw))
         np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_unet_cn_text_only_mode(rng):
+    """ControlNet-branch semantics (reference CNAttnProcessor2_0,
+    attention_processor.py:538-623): with cn_text_only the 768-dim stream
+    attends TEXT-ONLY — the output is invariant to the trailing AudioMAE
+    tokens — and no adapter (ip) params are created."""
+
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, cn_text_only=True)
+    model = AudioLDM2UNet(cfg)
+    sample = jnp.asarray(rng.standard_normal((1, 16, 8, 8)).astype(np.float32))
+    t = jnp.asarray([3.0])
+    text = rng.standard_normal((1, 2, 12)).astype(np.float32)
+    audio_a = rng.standard_normal((1, 4, 12)).astype(np.float32)
+    audio_b = rng.standard_normal((1, 4, 12)).astype(np.float32)
+    ehs1 = jnp.asarray(rng.standard_normal((1, 5, 20)).astype(np.float32))
+
+    params = model.init(
+        jax.random.PRNGKey(0), sample, t,
+        jnp.asarray(np.concatenate([text, audio_a], axis=1)), ehs1, None, 0.7
+    )["params"]
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert not [jax.tree_util.keystr(p) for p, _ in flat
+                if "ip" in jax.tree_util.keystr(p)]
+
+    out_a = model.apply({"params": params}, sample, t,
+                        jnp.asarray(np.concatenate([text, audio_a], axis=1)),
+                        ehs1, None, 0.7)
+    out_b = model.apply({"params": params}, sample, t,
+                        jnp.asarray(np.concatenate([text, audio_b], axis=1)),
+                        ehs1, None, 0.7)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    # and the hoist path refuses this mode loudly
+    from ap_adapter_tpu.models.hoist import precompute_cross_kv
+
+    with pytest.raises(ValueError, match="cn_text_only"):
+        precompute_cross_kv(params, cfg,
+                            jnp.zeros((1, 6, 12)), jnp.zeros((1, 5, 20)),
+                            None, jnp.float32)
