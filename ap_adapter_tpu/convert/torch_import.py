@@ -483,3 +483,24 @@ def clap_audio_params(sd: StateDict, config) -> Dict:
         "projection_1": t_linear(sd, "audio_projection.linear1"),
         "projection_2": t_linear(sd, "audio_projection.linear2"),
     }
+
+
+# ---------------------------------------------------------------------------
+# VGGish (torchvggish / frechet-audio-distance embedder — reference
+# requirements.txt; eval/vggish.py has the architecture + front-end)
+# ---------------------------------------------------------------------------
+
+
+def vggish_params(sd: StateDict) -> Dict:
+    """Map torchvggish state-dict keys (features.N / embeddings.N) to
+    eval/vggish.VGGish. The pre-MLP flatten is NHWC on both sides
+    (torchvggish permutes to NHWC before .view), so fc weights map 1:1."""
+
+    convs = {"conv1": 0, "conv2": 3, "conv3_1": 6, "conv3_2": 8,
+             "conv4_1": 11, "conv4_2": 13}
+    params: Dict = {
+        name: t_conv2d(sd, f"features.{idx}") for name, idx in convs.items()
+    }
+    for name, idx in (("fc1", 0), ("fc2", 2), ("fc_embed", 4)):
+        params[name] = t_linear(sd, f"embeddings.{idx}")
+    return params

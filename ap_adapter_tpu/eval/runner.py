@@ -41,6 +41,11 @@ def _embed_wavs(pipe, scorer, wavs_with_sr) -> np.ndarray:
     (a single shared sr would resample mixed-rate clips incorrectly)."""
 
     if scorer is not None:
+        # scorer is either a ClapScorer (CLAP audio tower) or anything with
+        # .embed(wavs, sr) — e.g. eval.vggish.VggishEmbedder, the
+        # paper-comparable space of the reference's frechet-audio-distance
+        embed = scorer.embed if hasattr(scorer, "embed") else (
+            lambda wavs, sr: clap_audio_embeddings(scorer, wavs, sr))
         # group consecutive same-sr clips so same-length batches share a jit
         out, i = [], 0
         while i < len(wavs_with_sr):
@@ -48,11 +53,18 @@ def _embed_wavs(pipe, scorer, wavs_with_sr) -> np.ndarray:
             j = i
             while j < len(wavs_with_sr) and wavs_with_sr[j][1] == sr:
                 j += 1
-            out.append(clap_audio_embeddings(
-                scorer, [w for w, _ in wavs_with_sr[i:j]], sr))
+            out.append(embed([w for w, _ in wavs_with_sr[i:j]], sr))
             i = j
         return np.concatenate(out)
     return np.stack([audiomae_clip_embedding(pipe, w, sr) for w, sr in wavs_with_sr])
+
+
+def _space_name(scorer) -> str:
+    """Suffix for the fad_* result keys ("clap" keeps the r2/r3 key name)."""
+
+    if scorer is None:
+        return "audiomae"
+    return "vggish" if hasattr(scorer, "embed") else "clap"
 
 
 def run_batched_eval(
@@ -134,7 +146,7 @@ def run_batched_eval(
         src_e = _embed_wavs(pipe, scorer, src_wavs)
         gen_e = _embed_wavs(
             pipe, scorer, [(w, sr_out) for batch in all_edits for w in batch])
-        result["fad_clap" if scorer is not None else "fad_audiomae"] = fad(src_e, gen_e)
+        result[f"fad_{_space_name(scorer)}"] = fad(src_e, gen_e)
     if return_embeddings:
         return result, src_e, gen_e
     return result
@@ -168,7 +180,8 @@ def run_eval_protocol(
     ``scorer`` is given.
     """
 
-    out = {"embedding_space": "clap_audio" if scorer is not None else "audiomae",
+    space = _space_name(scorer)
+    out = {"embedding_space": {"clap": "clap_audio"}.get(space, space),
            "task": getattr(task, "name", None) or "custom"}
     total_clips, wall_rates = 0, []
     for name, spec in domains.items():
@@ -189,8 +202,7 @@ def run_eval_protocol(
                 ref_wavs = [load_wav(p) for p in ref_paths]
                 ref_e = _embed_wavs(pipe, scorer, ref_wavs)
             out[f"fad_{name}"] = fad(ref_e, gen_e)
-            out[f"fad_faithfulness_{name}"] = res.get("fad_clap",
-                                                      res.get("fad_audiomae"))
+            out[f"fad_faithfulness_{name}"] = res.get(f"fad_{_space_name(scorer)}")
         out[f"n_{name}"] = res["n"]
         total_clips += res["n"]
         if np.isfinite(res["clips_per_s"]):
@@ -227,6 +239,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--output-dir", default="")
     p.add_argument("--no-fad", action="store_true")
+    p.add_argument("--vggish-ckpt", default="", help="torchvggish .pt state "
+                   "dict: compute FAD in the paper's VGGish space instead of "
+                   "the CLAP audio tower (eval/vggish.py)")
     args = p.parse_args(argv)
 
     config = PipelineConfig()
@@ -235,7 +250,11 @@ def main(argv=None):
     task = get_task_config(args.task, num_inference_steps=args.steps)
 
     scorer = None
-    if args.checkpoint_dir and os.path.exists(
+    if args.vggish_ckpt:
+        from ap_adapter_tpu.eval.vggish import VggishEmbedder
+
+        scorer = VggishEmbedder.from_torch_checkpoint(args.vggish_ckpt)
+    elif args.checkpoint_dir and os.path.exists(
         os.path.join(args.checkpoint_dir, "clap_audio.msgpack")
     ):
         from ap_adapter_tpu.configs import ClapAudioConfig

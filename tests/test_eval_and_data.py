@@ -316,3 +316,57 @@ def test_eval_protocol_per_domain(tmp_path, rng):
     # out-of-domain: judged against a different reference set -> different
     assert (res["fad_out_of_domain"] != res["fad_faithfulness_out_of_domain"])
     assert os.path.isdir(str(tmp_path / "out" / "in_domain"))
+
+
+def test_vggish_frontend_and_embedding_shapes(rng):
+    """VGGish embedder (eval/vggish.py): Google-exact front-end geometry —
+    2.0 s at 16 kHz -> 198 spectrogram frames -> 2 non-overlapping [96, 64]
+    examples — and the torchvggish key mapping round-trips through the
+    converter into a [N, 128] clip embedding."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from ap_adapter_tpu.convert.torch_import import vggish_params
+    from ap_adapter_tpu.eval.vggish import (
+        VGGish, vggish_clip_embeddings, vggish_log_mel_examples,
+        vggish_mel_matrix)
+
+    wav = rng.standard_normal(32000).astype(np.float32)
+    ex = vggish_log_mel_examples(jnp.asarray(wav))
+    assert ex.shape == (2, 96, 64)
+
+    m = vggish_mel_matrix()
+    assert m.shape == (257, 64)
+    assert np.all(m[0] == 0.0)  # DC bin carries no mel weight
+    assert m.min() >= 0.0 and m.max() <= 1.0  # mel-domain triangles, unnormalized
+
+    # synthetic torchvggish state dict -> converter -> model apply
+    tiny = np.random.default_rng(0)
+    sd = {}
+    chans = [(1, 64, 0), (64, 128, 3), (128, 256, 6), (256, 256, 8),
+             (256, 512, 11), (512, 512, 13)]
+    for cin, cout, idx in chans:
+        sd[f"features.{idx}.weight"] = tiny.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32) * 0.01
+        sd[f"features.{idx}.bias"] = np.zeros(cout, np.float32)
+    for idx, (din, dout) in ((0, (12288, 4096)), (2, (4096, 4096)), (4, (4096, 128))):
+        sd[f"embeddings.{idx}.weight"] = tiny.standard_normal(
+            (dout, din)).astype(np.float32) * 0.01
+        sd[f"embeddings.{idx}.bias"] = np.zeros(dout, np.float32)
+    params = vggish_params(sd)
+
+    out = VGGish().apply({"params": params}, jnp.asarray(
+        rng.standard_normal((2, 96, 64, 1)).astype(np.float32)))
+    assert out.shape == (2, 128)
+    # converted params == module's own init structure
+    want = jax.tree_util.tree_map(
+        lambda x: x.shape,
+        VGGish().init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 64, 1)))["params"])
+    got = jax.tree_util.tree_map(lambda x: np.asarray(x).shape, params)
+    assert want == got
+
+    embs = vggish_clip_embeddings(params, [wav, wav[:16000]], 16000)
+    assert embs.shape == (2, 128)
+    np.testing.assert_allclose(embs[0], embs[0])  # finite / deterministic
+    assert np.isfinite(embs).all()
