@@ -43,23 +43,41 @@ def main() -> None:
     pos = make_text_batch(config, ["Trumpet solo"] * BATCH, t5_len=64)
     neg = make_text_batch(config, ["low quality"] * BATCH, t5_len=64)
     rng = np.random.default_rng(0)
-    fbank = jnp.asarray(
-        rng.standard_normal((BATCH, *config.audiomae.img_size)).astype(np.float32))
-    kwargs = dict(audio_length_in_s=10.0, num_inference_steps=STEPS,
-                  guidance_scale=7.5, ap_scale=0.5, time_pool=2, freq_pool=2)
 
-    pipe.generate(pos, neg, fbank, seed=0, **kwargs)  # warm
+    if os.environ.get("AP_SDEDIT", "0") == "1":
+        # SDEdit (style transfer) phase attribution — BASELINE row 2's flat
+        # batch scaling: is the un-amortized piece the VAE encode/text stack?
+        from ap_adapter_tpu.pipeline.style_transfer import generate_style_transfer
+
+        src = rng.standard_normal(16000 * 10).astype(np.float32) * 0.1
+        pos_b = make_text_batch(config, ["Trumpet solo"] * BATCH, t5_len=64)
+
+        def call(seed):
+            return generate_style_transfer(
+                pipe, src, 16000, pos_b, neg, audio_length_in_s=10.0,
+                num_inference_steps=STEPS, guidance_scale=9.5, ap_scale=0.55,
+                time_pool=4, freq_pool=4, seed=seed)
+    else:
+        fbank = jnp.asarray(
+            rng.standard_normal((BATCH, *config.audiomae.img_size)).astype(np.float32))
+        kwargs = dict(audio_length_in_s=10.0, num_inference_steps=STEPS,
+                      guidance_scale=7.5, ap_scale=0.5, time_pool=2, freq_pool=2)
+
+        def call(seed):
+            return pipe.generate(pos, neg, fbank, seed=seed, **kwargs)
+
+    call(0)  # warm
 
     # wall time over 2 materialized calls
     t0 = time.perf_counter()
     for i in range(2):
-        pipe.generate(pos, neg, fbank, seed=10 + i, **kwargs)
+        call(10 + i)
     wall = (time.perf_counter() - t0) / 2
 
     log_dir = "/tmp/jax_trace_phases"
     os.system(f"rm -rf {log_dir}")
     jax.profiler.start_trace(log_dir)
-    pipe.generate(pos, neg, fbank, seed=99, **kwargs)
+    call(99)
     jax.profiler.stop_trace()
 
     traces = glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True)
