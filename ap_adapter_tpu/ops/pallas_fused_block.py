@@ -206,6 +206,87 @@ def _kernel(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     o_ref[0] = (xt.astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
+def _kernel_pipe(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
+                 wv_ref, wo_ref, bo_ref, o_ref, k_scr, v_scr, *,
+                 heads: int, s_valid: int, eps: float, sm_scale: float):
+    """Software-pipelined variant of ``_kernel``: phase 1 issues EVERY lane
+    group's staircase-QK logits back to back on the MXU; phase 2 runs
+    softmax(g) -> PV(g) per group, so in the in-order issue stream each
+    group's VPU softmax sits between independent MXU matmuls (the next
+    group's PV / the earlier-issued QKs) and the scoreboard can overlap
+    them. The baseline serializes QK -> softmax -> PV per group, idling the
+    MXU through every softmax pass. Costs one extra live logits block of
+    VMEM per additional lane group."""
+
+    j = pl.program_id(1)
+    c = x_tile_ref.shape[-1]
+    cq = wq_ref.shape[-1]
+    d = cq // heads
+    g = LANES // d
+    n_groups = cq // LANES
+    tq = x_tile_ref.shape[1]
+
+    lns = lns_ref[0].astype(jnp.float32)
+    lnb = lnb_ref[0].astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        xf = _ln(x_full_ref[0], lns, lnb, eps).astype(x_full_ref.dtype)
+        k_scr[:, :] = jax.lax.dot_general(
+            xf, wk_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(k_scr.dtype)
+        v_scr[:, :] = jax.lax.dot_general(
+            xf, wv_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(v_scr.dtype)
+
+    xt = x_tile_ref[0]
+    xn = _ln(xt, lns, lnb, eps).astype(xt.dtype)
+    q = (jax.lax.dot_general(xn, wq_ref[:, :], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         * sm_scale).astype(xt.dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, LANES), 1)
+    # phase 1: all groups' logits (MXU, independent of any softmax)
+    logits_all = []
+    for g2 in range(n_groups):
+        sl = slice(g2 * LANES, (g2 + 1) * LANES)
+        qg = q[:, sl]
+        qs = jnp.concatenate(
+            [jnp.where((lane >= i * d) & (lane < (i + 1) * d), qg, 0)
+             for i in range(g)], axis=0)
+        logits = jax.lax.dot_general(
+            qs, k_scr[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if s_valid < k_scr.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < s_valid, logits, NEG_INF)
+        logits_all.append(logits)
+
+    # phase 2: per group softmax (VPU) then PV (MXU); group i's softmax can
+    # overlap group i-1's PV, and group 0's softmax overlaps phase-1 QKs
+    attn_groups = []
+    for g2 in range(n_groups):
+        logits = logits_all[g2]
+        vg = v_scr[:, g2 * LANES : (g2 + 1) * LANES]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o_full = jax.lax.dot_general(
+            p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / denom
+        og = jnp.zeros((tq, LANES), jnp.float32)
+        for i in range(g):
+            blk = jax.lax.slice_in_dim(o_full, i * tq, (i + 1) * tq, axis=0)
+            og = og + jnp.where((lane >= i * d) & (lane < (i + 1) * d), blk, 0)
+        attn_groups.append(og.astype(xt.dtype))
+
+    attn = jnp.concatenate(attn_groups, axis=1)
+    out = jax.lax.dot_general(
+        attn, wo_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[0].astype(jnp.float32)
+    o_ref[0] = (xt.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
 def _kernel_t(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
               wv_ref, wo_ref, bo_ref, o_ref, ks_scr, vt_scr, *,
               heads: int, s_valid: int, eps: float, sm_scale: float):
@@ -415,6 +496,7 @@ def fused_ln_self_attention(
     transposed: Optional[bool] = None,
     kt: Optional[bool] = None,
     prepadded: bool = False,
+    pipe: Optional[bool] = None,
 ) -> jnp.ndarray:
     """x + OutProj(MHA(LN(x))) in one kernel. Requires C % 128 == 0 and
     head_dim dividing 128 with aligned head groups (callers route).
@@ -434,6 +516,8 @@ def fused_ln_self_attention(
         transposed = os.environ.get("AP_ATTN_T", "0") == "1"
     if kt is None:
         kt = os.environ.get("AP_ATTN_KT", "0") == "1"
+    if pipe is None:
+        pipe = os.environ.get("AP_ATTN_PIPE", "0") == "1"
     b, s, c = x.shape
     d_in = c // heads
     d = _pad_head_dim(d_in)
@@ -474,7 +558,8 @@ def fused_ln_self_attention(
             pltpu.VMEM((cq, sp), dt),      # vᵀ
         ]
     else:
-        kernel = functools.partial(_kernel, heads=heads, s_valid=s, eps=eps,
+        body = _kernel_pipe if pipe else _kernel
+        kernel = functools.partial(body, heads=heads, s_valid=s, eps=eps,
                                    sm_scale=float(d_in) ** -0.5)
         scratch = [
             pltpu.VMEM((sp, cq), dt),

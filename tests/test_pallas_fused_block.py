@@ -73,6 +73,30 @@ def test_kt_kernel_matches_unfused(rng, shape, heads):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape,heads", [
+    ((2, 100, 256), 8),   # hot-site layout (2 lane groups x 4 packed heads)
+    ((1, 40, 128), 2),    # d=64, g=2, single lane group
+])
+def test_pipe_kernel_matches_unfused(rng, shape, heads):
+    """Software-pipelined variant (_kernel_pipe, AP_ATTN_PIPE) parity.
+    Measured slower than the baseline ordering on v5e (docs/PERF.md r4),
+    kept opt-in; parity must hold regardless."""
+
+    b, s, c = shape
+    x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    ln_s = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    ln_b = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    ws = [jnp.asarray((rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+          for _ in range(4)]
+    bo = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    want = np.asarray(_unfused(x, ln_s, ln_b, *ws, bo, heads, 1e-5))
+    got = np.asarray(pfb.fused_ln_self_attention(
+        x, ln_s, ln_b, *ws, bo, heads, eps=1e-5, tile_q=64, interpret=True,
+        pipe=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_fused_block_grads(rng):
     b, s, c, heads = 1, 32, 128, 4
     x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
