@@ -43,11 +43,22 @@ import os as _os
 # fp32 transcendental + converts); kept for other backends/shapes
 _BF16_SOFTMAX = _os.environ.get("AP_ATTN_BF16", "0") == "1"
 
-# max-free softmax probe (A/B: AP_ATTN_NOMAX=1) — bounds how much of the
-# kernel is the rowwise max pass. NOT numerically safe in general (exp
-# overflows past logit ~88; bf16 qk products at these scales stay well
-# under), so probe-only: quantifies the VPU share for docs/PERF.md.
-_NOMAX = _os.environ.get("AP_ATTN_NOMAX", "0") == "1"
+# Clamped max-free softmax (default ON; AP_ATTN_MAXSUB=1 restores the
+# classic rowwise-max-subtracted form). The rowwise max exists only for
+# overflow safety; an upper CLAMP gives the same guarantee without the
+# dedicated read+cross-lane-reduce pass over the [g·tq, Sp] logits block:
+#   p = exp(min(logits, 80))         exp(80)=5.5e34; x4000 keys = 2.2e38
+#                                    < fp32 max, so the row sum can't inf
+#   denom = sum(p) + 1e-37           0/0 guard; pollutes only when the row
+#                                    max is < ~-86.5 (softmax of such a row
+#                                    is garbage under either form)
+# Masked columns stay NEG_INF -> exp underflows to exactly 0, as before.
+# softmax is shift-invariant, so for any logits in (-86, 80) this is the
+# max-subtracted result up to fp32 rounding (exp arg-reduction error
+# ~|x|·eps ≈ 5e-6 rel at the clamp; bf16 matmul noise is 100x larger).
+_MAXSUB = _os.environ.get("AP_ATTN_MAXSUB", "0") == "1"
+_CLAMP = 80.0
+_DENOM_EPS = 1e-37
 
 
 def _round_up(x: int, m: int) -> int:
@@ -168,26 +179,18 @@ def _kernel(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         if s_valid < k_scr.shape[0]:  # static: mask only when S was padded
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col < s_valid, logits, NEG_INF)
-        if _NOMAX:
-            p = jnp.exp(logits)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            o_full = jax.lax.dot_general(
-                p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) / denom
-            og = jnp.zeros((tq, LANES), jnp.float32)
-            for i in range(g):
-                blk = jax.lax.slice_in_dim(o_full, i * tq, (i + 1) * tq, axis=0)
-                og = og + jnp.where((lane >= i * d) & (lane < (i + 1) * d), blk, 0)
-            attn_groups.append(og.astype(xt.dtype))
-            continue
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        if xt.dtype == jnp.bfloat16 and _BF16_SOFTMAX:
+        if not _MAXSUB:
+            p = jnp.exp(jnp.minimum(logits, _CLAMP))
+            denom = jnp.sum(p, axis=-1, keepdims=True) + _DENOM_EPS
+        elif xt.dtype == jnp.bfloat16 and _BF16_SOFTMAX:
             # bf16 exp/sum over the S² probs (~0.4% rel err — same class as
             # the bf16 matmul rounding everywhere else); fp32 parity tests
             # keep the fp32 path. Halves the dominant VPU traffic.
+            m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp((logits - m).astype(jnp.bfloat16))
             denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         else:
+            m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             denom = jnp.sum(p, axis=-1, keepdims=True)
         o_full = jax.lax.dot_general(
@@ -656,9 +659,14 @@ def _bwd_kernel(x_full_ref, g_full_ref, x_tile_ref, g_tile_ref, lns_ref,
         if s_valid < k_scr.shape[0]:  # static: mask only when S was padded
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col < s_valid, logits, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(xt.dtype)
+        if _MAXSUB:
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+        else:  # clamped max-free recompute, bitwise-matching the forward
+            p = jnp.exp(jnp.minimum(logits, _CLAMP))
+            denom = jnp.sum(p, axis=-1, keepdims=True) + _DENOM_EPS
+        probs = (p / denom).astype(xt.dtype)
 
         # dv: P^T @ gs — head blocks land in their own lanes (gs zeros)
         dv_scr[:, sl] += jax.lax.dot_general(

@@ -97,6 +97,26 @@ def test_pipe_kernel_matches_unfused(rng, shape, heads):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_maxsub_legacy_path_matches(rng, monkeypatch):
+    """AP_ATTN_MAXSUB=1 (classic rowwise-max softmax) must keep matching the
+    default clamped max-free form — both are plain softmax up to rounding."""
+
+    b, s, c, heads = 2, 100, 256, 8
+    x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
+    ln_s = jnp.ones(c)
+    ln_b = jnp.zeros(c)
+    ws = [jnp.asarray((rng.standard_normal((c, c)) / np.sqrt(c)).astype(np.float32))
+          for _ in range(4)]
+    bo = jnp.zeros(c)
+
+    got = np.asarray(pfb.fused_ln_self_attention(
+        x, ln_s, ln_b, *ws, bo, heads, eps=1e-5, tile_q=64, interpret=True))
+    monkeypatch.setattr(pfb, "_MAXSUB", True)
+    want = np.asarray(pfb.fused_ln_self_attention(
+        x, ln_s, ln_b, *ws, bo, heads, eps=1e-5, tile_q=64, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_fused_block_grads(rng):
     b, s, c, heads = 1, 32, 128, 4
     x = jnp.asarray(rng.standard_normal((b, s, c)).astype(np.float32))
