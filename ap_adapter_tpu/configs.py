@@ -107,6 +107,15 @@ class AudioMAEConfig:
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-6
     contextual_depth: int = 8  # used by the contextual-average path
+    # MAE pretraining decoder (reference models_mae.py mae_vit_base_patch16 =
+    # *_dec512d8b: 512-dim, 8 plain ViT blocks, 16 heads, decoder_mode=0).
+    # Inference never touches these; models/mae_pretrain.py does.
+    decoder_embed_dim: int = 512
+    decoder_depth: int = 8
+    decoder_num_heads: int = 16
+    mask_ratio: float = 0.8       # models_mae.py forward() default
+    mask_t_prob: float = 0.6      # models_mae.py:182 default
+    mask_f_prob: float = 0.5      # models_mae.py:183 default
 
     @property
     def grid_size(self) -> Tuple[int, int]:

@@ -88,6 +88,38 @@ def audiomae_encoder_params(sd: StateDict, depth: int = 12) -> Dict:
     return params
 
 
+def audiomae_pretrain_params(
+    sd: StateDict, depth: int = 12, decoder_depth: int = 8
+) -> Dict:
+    """Map a full MAE checkpoint (encoder + decoder) for models.mae_pretrain.
+
+    Decoder key names follow the reference's module attributes
+    (models_mae.py:236-301): ``decoder_embed``, ``mask_token``,
+    ``decoder_blocks.{i}`` (plain timm Block, decoder_mode=0),
+    ``decoder_norm``, ``decoder_pred``.
+    """
+
+    dec: Dict = {
+        "decoder_embed": t_linear(sd, "decoder_embed"),
+        "mask_token": sd["mask_token"],
+        "decoder_norm": t_norm(sd, "decoder_norm"),
+        "decoder_pred": t_linear(sd, "decoder_pred"),
+    }
+    for i in range(decoder_depth):
+        p = f"decoder_blocks.{i}"
+        dec[f"block_{i}"] = {
+            "norm1": t_norm(sd, f"{p}.norm1"),
+            "attn": {
+                "qkv": t_linear(sd, f"{p}.attn.qkv"),
+                "proj": t_linear(sd, f"{p}.attn.proj"),
+            },
+            "norm2": t_norm(sd, f"{p}.norm2"),
+            "fc1": t_linear(sd, f"{p}.mlp.fc1"),
+            "fc2": t_linear(sd, f"{p}.mlp.fc2"),
+        }
+    return {"audiomae": audiomae_encoder_params(sd, depth), "decoder": dec}
+
+
 def audiomae_condition_params(sd: StateDict, depth: int = 12) -> Dict:
     """Params for AudioMAECondition; accepts either bare-MAE or the
     reference's nested ``audiomae.model.`` prefixes."""

@@ -3,8 +3,8 @@
 TPU-native re-design of the reference encoder stack
 (audio_encoder/models_mae.py + audio_encoder/AudioMAE.py): Flax modules,
 NHWC patchify conv, bf16-friendly compute with fp32 params, and reshape-based
-fused avg+max pooling (ops/pooling.py). The MAE decoder is intentionally not
-implemented — no reference entry point uses it.
+fused avg+max pooling (ops/pooling.py). The MAE pretraining side (random
+masking, decoder, reconstruction loss) lives in models/mae_pretrain.py.
 
 Weight layout mirrors timm ViT naming (qkv fused linear, proj, fc1/fc2) so
 PyTorch checkpoints convert 1:1 (convert/torch_import.py).
@@ -112,6 +112,30 @@ class AudioMAEEncoder(nn.Module):
         """fbank [B, T, F] -> tokens [B, 1 + T/16*F/16, D] (final-norm path)."""
 
         x = self._embed(fbank)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)
+
+    def masked(self, fbank: jnp.ndarray, ids_keep: jnp.ndarray) -> jnp.ndarray:
+        """Masked-pretraining encode (reference forward_encoder,
+        models_mae.py:522-546): patchify, +pos embed, keep only the
+        ``ids_keep`` token subset, prepend CLS, all blocks, final norm.
+
+        ``ids_keep`` [B, len_keep] comes from mae_pretrain.random_masking /
+        random_masking_2d; static len_keep keeps the whole step jittable.
+        Returns [B, 1 + len_keep, D].
+        """
+
+        c = self.config
+        x = fbank[..., None].astype(self.dtype)
+        x = self.patch_proj(x)
+        b = x.shape[0]
+        x = x.reshape(b, -1, c.embed_dim)
+        x = x + self.pos_embed[None, 1:, :].astype(self.dtype)
+        x = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+        cls = (self.cls_token + self.pos_embed[None, :1, :]).astype(self.dtype)
+        cls = jnp.broadcast_to(cls, (b, 1, c.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1)
         for blk in self.blocks:
             x = blk(x)
         return self.norm(x)

@@ -366,6 +366,50 @@ def make_audiomae():
           want_tokens=want_tokens, want_ctx=want_ctx, **pooled, **_flat(params))
 
 
+def make_mae_pretrain():
+    """Reference models_mae.py pretraining path as the oracle: run its own
+    forward_encoder (mask_ratio=0.5) + forward_decoder + forward_loss
+    (models_mae.py:522-660) on a tiny config, capture the mask plan it drew,
+    and pin pred + loss for the same plan in models/mae_pretrain.py."""
+
+    from functools import partial
+
+    import torch
+    import torch.nn as nn
+
+    from ap_adapter_tpu.convert import torch_import as ti
+
+    models_mae = _load_reference_models_mae()
+    cfg = dict(img_size=(64, 32), patch_size=16, embed_dim=32, depth=2,
+               num_heads=2, decoder_embed_dim=16, decoder_depth=1,
+               decoder_num_heads=2)
+    torch.manual_seed(1)
+    mae = models_mae.MaskedAutoencoderViT(
+        img_size=(64, 32), patch_size=16, stride=16, in_chans=1,
+        embed_dim=32, depth=2, num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=4.0, norm_layer=partial(nn.LayerNorm, eps=1e-6),
+        audio_exp=True, contextual_depth=0, pos_trainable=False,
+    ).eval()
+
+    rng = np.random.default_rng(7)
+    fbank = rng.standard_normal((2, 64, 32)).astype(np.float32)
+    x = torch.from_numpy(fbank)[:, None]
+    with torch.no_grad():
+        torch.manual_seed(5)
+        latent, mask, ids_restore, _ = mae.forward_encoder(x, mask_ratio=0.5)
+        pred, _, _ = mae.forward_decoder(latent, ids_restore)
+        loss = mae.forward_loss(x, pred, mask)
+    len_keep = latent.shape[1] - 1
+    ids_keep = torch.argsort(ids_restore, dim=1)[:, :len_keep]
+
+    params = ti.audiomae_pretrain_params(_np_sd(mae), depth=2, decoder_depth=1)
+    _save("mae_pretrain", config_json=json.dumps(cfg), fbank=fbank,
+          ids_keep=ids_keep.numpy(), ids_restore=ids_restore.numpy(),
+          mask=mask.numpy(), want_pred=pred.numpy(),
+          want_loss=np.float64(loss.item()), **_flat(params))
+
+
 def make_projection():
     """Torch oracle replicating AudioLDM2ProjectionModel
     (reference modeling_audioldm2.py:82-145 + add_special_tokens :47-59)."""
@@ -751,6 +795,7 @@ def main() -> None:
     make_vocoder()
     make_adapter()
     make_audiomae()
+    make_mae_pretrain()
     make_projection()
     make_vae()
     make_t2d_block()
