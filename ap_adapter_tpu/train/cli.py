@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--adam-beta2", type=float, default=0.999)
     p.add_argument("--adam-weight-decay", type=float, default=1e-2)
     p.add_argument("--adam-epsilon", type=float, default=1e-8)
+    p.add_argument("--use-8bit-adam", action="store_true",
+                   help="bnb 8-bit Adam parity (train_apadapter_v2.py:733-743): "
+                        "bf16 first-moment optimizer state on TPU")
     p.add_argument("--max-grad-norm", type=float, default=1.0)
     p.add_argument("--max-train-steps", type=int, default=35_000)
     p.add_argument("--checkpointing-steps", type=int, default=3000)
@@ -109,6 +112,7 @@ def main(argv=None):
         adam_beta2=args.adam_beta2,
         adam_weight_decay=args.adam_weight_decay,
         adam_epsilon=args.adam_epsilon,
+        use_8bit_adam=args.use_8bit_adam,
         max_grad_norm=args.max_grad_norm,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         per_host_batch_size=args.train_batch_size,

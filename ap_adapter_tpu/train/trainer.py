@@ -49,6 +49,11 @@ class TrainConfig:
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
+    # bitsandbytes --use_8bit_adam parity (train_apadapter_v2.py:733-743):
+    # on TPU the equivalent memory lever is low-precision optimizer moments
+    # (bf16 mu); the adapter is only ~42 MB so this is a parity flag, not a
+    # necessity.
+    use_8bit_adam: bool = False
     gradient_accumulation_steps: int = 4
     per_host_batch_size: int = 8
     max_train_steps: int = 35_000
@@ -116,6 +121,7 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
             b2=tc.adam_beta2,
             eps=tc.adam_epsilon,
             weight_decay=tc.adam_weight_decay,
+            mu_dtype=jnp.bfloat16 if tc.use_8bit_adam else None,
         ),
     )
     if tc.gradient_accumulation_steps > 1:

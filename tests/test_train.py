@@ -77,6 +77,30 @@ def test_train_step_updates_adapter(setup, rng):
     assert all(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(l0, l1))
 
 
+def test_8bit_adam_parity_flag(setup, rng):
+    """--use-8bit-adam (bnb parity, train_apadapter_v2.py:733-743) keeps the
+    first moment in bf16 and still trains."""
+
+    cfg, modules, params = setup
+    tc = TrainConfig(gradient_accumulation_steps=1, learning_rate=1e-3,
+                     use_8bit_adam=True)
+    frozen = {k: v for k, v in params.items() if k != "unet"}
+    state, frozen_unet = create_train_state(tc, params["unet"])
+    frozen["unet_frozen"] = frozen_unet
+
+    flat = jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+    mu_leaves = [v for path, v in flat
+                 if any(getattr(p, "name", "") == "mu" for p in path)]
+    assert mu_leaves and all(v.dtype == jnp.bfloat16 for v in mu_leaves)
+
+    step = make_train_step(modules, tc, frozen)
+    state2, metrics = step(state, _batch(cfg, rng), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    l0 = jax.tree_util.tree_leaves(state.adapter)
+    l1 = jax.tree_util.tree_leaves(state2.adapter)
+    assert all(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(l0, l1))
+
+
 def test_gradient_accumulation(setup, rng):
     cfg, modules, params = setup
     tc = TrainConfig(gradient_accumulation_steps=2, learning_rate=1e-3)
