@@ -244,6 +244,48 @@ def mae_pretrain_loss(
     return reconstruction_loss(fbank, pred, mask, c.patch_size, norm_pix_loss)
 
 
+def make_mae_pretrain_step(
+    model: MAEPretrain,
+    tx,
+    *,
+    mesh=None,
+    mask_2d: bool = False,
+    norm_pix_loss: bool = False,
+):
+    """Jitted (optionally data-parallel) MAE pretrain step.
+
+    Returns ``step(params, opt_state, fbank, rng) -> (params, opt_state,
+    loss)``. With ``mesh`` the fbank batch is expected sharded over the
+    ``data`` axis and params replicated — gradients all-reduce over ICI,
+    the same DP recipe as the adapter trainer (train/trainer.py).
+    """
+
+    import optax
+
+    def loss_fn(params, fbank, rng):
+        return mae_pretrain_loss(model, params, fbank, rng,
+                                 mask_2d=mask_2d, norm_pix_loss=norm_pix_loss)
+
+    def step(params, opt_state, fbank, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, fbank, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Finetuning classifier (reference audio_encoder/models_vit.py)
 # ---------------------------------------------------------------------------
