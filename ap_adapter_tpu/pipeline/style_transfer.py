@@ -128,8 +128,18 @@ def generate_style_transfer(
     freq_pool: int = 4,
     use_audio_prompt: bool = True,
     seed: int = 0,
+    materialize: bool = True,
 ) -> np.ndarray:
-    """Host-facing SDEdit entry point (task template: style_transfer)."""
+    """Host-facing SDEdit entry point (task template: style_transfer).
+
+    ``materialize=False`` returns the (untrimmed) device array without the
+    blocking device->host readback — same serving pattern as
+    ``AudioLDM2Pipeline.generate``: dispatch several edits, then materialize
+    all of them, overlapping each call's host work (source resample/fbank
+    prep, output readback) with the previous call's device compute. The
+    phase profile (docs/PERF.md r4) shows SDEdit's device time per clip is
+    batch-saturated at 8, so overlap is where remaining throughput lives.
+    """
 
     from ap_adapter_tpu.audio.dsp import resample
 
@@ -169,5 +179,7 @@ def generate_style_transfer(
         pipe.params, jax.random.PRNGKey(seed), source, fbank, text_pos, text_neg,
         jnp.asarray(guidance_scale, jnp.float32), jnp.asarray(ap_scale, jnp.float32),
     )
+    if not materialize:
+        return wavs
     samples = int(audio_length_in_s * c.vocoder.sampling_rate)
     return np.asarray(wavs)[:, :samples]

@@ -48,8 +48,15 @@ def main() -> None:
 
     n = 3
     t0 = time.perf_counter()
-    for i in range(n):
-        out = generate_style_transfer(pipe, src, 16_000, pos, neg, seed=i, **kwargs)
+    # serving pattern (same as bench.py): dispatch every edit without
+    # blocking, then materialize all outputs — host-side prep/readback of
+    # call i overlaps device compute of call i-1 (docs/PERF.md r4: SDEdit
+    # device time is batch-saturated, the host residue is the flat-scaling
+    # culprit)
+    outs = [generate_style_transfer(pipe, src, 16_000, pos, neg, seed=i,
+                                    materialize=False, **kwargs)
+            for i in range(n)]
+    outs = [np.asarray(o) for o in outs]
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "style_transfer_sdedit_clips_per_sec_per_chip",

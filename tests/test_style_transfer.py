@@ -45,14 +45,27 @@ def test_style_transfer_end_to_end(rng):
 
     # tiny AudioMAE wants (64, 32) fbank — skip the audio prompt branch here
     source = (rng.standard_normal(3200) * 0.3).astype(np.float32)  # 0.2 s @16k
+    tp, tn = text(), text()
     wavs = generate_style_transfer(
-        pipe, source, 16000, text(), text(),
+        pipe, source, 16000, tp, tn,
         audio_length_in_s=0.2, num_inference_steps=8,
         guidance_scale=3.0, ap_scale=0.5, time_pool=2, freq_pool=2,
         use_audio_prompt=False, seed=0,
     )
     assert wavs.shape == (1, int(0.2 * cfg.vocoder.sampling_rate))
     assert np.all(np.isfinite(wavs))
+
+    # materialize=False (pipelined-dispatch serving pattern): same values,
+    # untrimmed, no host transfer forced inside the call
+    lazy = generate_style_transfer(
+        pipe, source, 16000, tp, tn,
+        audio_length_in_s=0.2, num_inference_steps=8,
+        guidance_scale=3.0, ap_scale=0.5, time_pool=2, freq_pool=2,
+        use_audio_prompt=False, seed=0, materialize=False,
+    )
+    assert not isinstance(lazy, np.ndarray)
+    np.testing.assert_allclose(np.asarray(lazy)[:, :wavs.shape[1]], wavs,
+                               rtol=0, atol=0)
 
 
 def test_audioldm_v1_pipeline(rng):
