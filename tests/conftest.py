@@ -21,10 +21,29 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: the suite is dominated by XLA CPU compiles of
-# tiny-config models; cached re-runs cut wall time several-fold
+# tiny-config models; cached re-runs cut wall time several-fold. The dir is
+# keyed by this host's CPU feature flags (same scheme as __graft_entry__'s
+# dryrun child): XLA:CPU AOT blobs compiled on a different machine are
+# unsafe to load ("could lead to SIGILL" — and a stale cache was implicated
+# in in-process XLA compiler segfaults mid-suite), so an image-snapshotted
+# /tmp or a host change must never replay them.
+
+
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu_tests"),
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   f"/tmp/jax_cache_cpu_tests_{_cpu_fingerprint()}"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
