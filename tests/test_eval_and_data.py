@@ -370,3 +370,44 @@ def test_vggish_frontend_and_embedding_shapes(rng):
     assert embs.shape == (2, 128)
     np.testing.assert_allclose(embs[0], embs[0])  # finite / deterministic
     assert np.isfinite(embs).all()
+
+
+def test_run_batched_eval_pipelined_sweep(tmp_path, rng):
+    """The eval sweep (runner.run_batched_eval) end-to-end on a tiny config:
+    pipelined dispatch, throughput window, FAD fallback, wav outputs."""
+
+    import dataclasses
+
+    from ap_adapter_tpu.audio.io import save_wav
+    from ap_adapter_tpu.configs import TaskConfig
+    from ap_adapter_tpu.eval.runner import run_batched_eval
+    from ap_adapter_tpu.pipeline.pipeline import AudioLDM2Pipeline
+
+    base = tiny_pipeline_config()
+    # shrink the fbank front-end to the tiny AudioMAE's (64, 32) geometry
+    cfg = dataclasses.replace(
+        base, fbank=dataclasses.replace(base.fbank, target_frames=64,
+                                        num_mel_bins=32))
+    pipe = AudioLDM2Pipeline.from_random(cfg, seed=0)
+
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"clip{i}.wav"
+        save_wav(str(p), (rng.standard_normal(3200) * 0.1).astype(np.float32),
+                 16_000)
+        paths.append(str(p))
+
+    task = TaskConfig(
+        task="t", output_dir="", audio_prompt_file="", adapter_ckpt="",
+        ap_scale=0.5, time_pooling=2, freq_pooling=2, guidance_scale=3.0,
+        num_inference_steps=2, audio_length_in_s=0.2,
+        positive_text_prompts=("a recording",), negative_text_prompts=("bad",))
+
+    out_dir = tmp_path / "out"
+    res = run_batched_eval(pipe, paths, task, batch_size=2,
+                           compute_fad=True, output_dir=str(out_dir))
+    assert res["n"] == 4
+    assert np.isfinite(res["clips_per_s"]) and res["clips_per_s"] > 0
+    assert any(k.startswith("fad_") for k in res)
+    wavs = sorted(out_dir.glob("*_edit.wav"))
+    assert len(wavs) == 4
