@@ -31,6 +31,18 @@ from ap_adapter_tpu.models.vae import AutoencoderKL
 from ap_adapter_tpu.models.vocoder import HiFiGAN
 
 
+def _host_cpu_device():
+    """The host CPU device for serving-side DSP prep (fbank/resample).
+
+    Falls back to the default device if no CPU backend is initialized
+    (never the case in practice — JAX always registers cpu)."""
+
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def cast_params_to(params, dtype):
     """Cast floating-point param leaves to the compute dtype.
 
@@ -437,14 +449,22 @@ class AudioLDM2Pipeline:
         return height // scale
 
     def prepare_fbank(self, waveform: np.ndarray, sample_rate: int) -> jnp.ndarray:
-        """Host wav -> normalized AudioMAE fbank [1, 1024, 128]."""
+        """Host wav -> normalized AudioMAE fbank [1, 1024, 128].
+
+        Runs on the host CPU backend: serving loops prep the next clip's
+        fbank while the TPU denoises the previous batch, and a TPU-placed
+        fbank op would queue behind that multi-second denoise (its blocking
+        readback then serializes the whole pipeline — measured as the r4
+        eval-sweep regression, docs/PERF.md).
+        """
 
         from ap_adapter_tpu.audio.dsp import resample
 
-        wav = jnp.asarray(np.atleast_2d(waveform).mean(axis=0), dtype=jnp.float32)
-        if sample_rate != self.config.fbank.sample_rate:
-            wav = resample(wav, sample_rate, self.config.fbank.sample_rate)
-        return audiomae_fbank(wav, self.config.fbank)[None]
+        with jax.default_device(_host_cpu_device()):
+            wav = jnp.asarray(np.atleast_2d(waveform).mean(axis=0), dtype=jnp.float32)
+            if sample_rate != self.config.fbank.sample_rate:
+                wav = resample(wav, sample_rate, self.config.fbank.sample_rate)
+            return audiomae_fbank(wav, self.config.fbank)[None]
 
     def generate(
         self,

@@ -142,12 +142,17 @@ def generate_style_transfer(
     """
 
     from ap_adapter_tpu.audio.dsp import resample
+    from ap_adapter_tpu.pipeline.pipeline import _host_cpu_device
 
     c = pipe.config
     sr = c.mel.sample_rate
-    wav = jnp.asarray(np.atleast_2d(source_waveform).mean(axis=0), jnp.float32)
-    if sample_rate != sr:
-        wav = resample(wav, sample_rate, sr)
+    # source prep on the host CPU backend — a TPU-placed resample would
+    # queue behind the previous edit's in-flight denoise and stall the
+    # pipelined-dispatch serving loop (see prepare_fbank)
+    with jax.default_device(_host_cpu_device()):
+        wav = jnp.asarray(np.atleast_2d(source_waveform).mean(axis=0), jnp.float32)
+        if sample_rate != sr:
+            wav = resample(wav, sample_rate, sr)
 
     b = text_pos.clap_ids.shape[0]
     mel_frames = int(audio_length_in_s * c.mel.frames_per_second)
