@@ -201,6 +201,82 @@ def test_golden_t2d_block():
                                d["want"], atol=2e-5, rtol=2e-5)
 
 
+def test_golden_unet_full():
+    """Oracle: torch replica of the COMPOSED UNet forward (reference
+    modeling_audioldm2.py:663-873 + block forwards :1076-1166/:1255-1337/
+    :1422-1514) with every attention run by the REFERENCE'S OWN processors.
+    Pins the glue the single-block fixture cannot: 4-T2D group idx routing,
+    double-self-attention, skip concats, shared temb, odd-size upsampling
+    (12 % 8 != 0 -> forward_upsample_size), the -10000 T5 mask bias, and the
+    stacked 2-layer transformer_blocks scan layout."""
+
+    params, d = _load("unet_full")
+    from ap_adapter_tpu.configs import UNetConfig
+    from ap_adapter_tpu.models.unet import AudioLDM2UNet
+
+    cfg = UNetConfig(**d["config"])
+    unet = AudioLDM2UNet(cfg)
+    out = unet.apply(
+        {"params": params},
+        jnp.asarray(d["sample"].transpose(0, 2, 3, 1)),  # NCHW -> NHWC
+        jnp.asarray(d["t"]),
+        jnp.asarray(d["ehs0"]), jnp.asarray(d["ehs1"]),
+        jnp.asarray(d["mask1"]), ip_scale=float(d["ip_scale"]))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               d["want"], atol=1e-4, rtol=1e-4)
+
+
+def test_golden_ddim():
+    """Oracle: torch replica of diffusers DDIMScheduler (the reference's
+    scheduler at pipeline_audioldm2.py:983,1025 / train_apadapter_v2.py:911)
+    — set_timesteps spacing + steps_offset, the final-alpha convention, full
+    50-step recursive step() chains for epsilon and v_prediction (+ clip),
+    add_noise and velocity targets. Replaces the same-author numpy oracle as
+    the only check on diffusion/ddim.py (VERDICT r4 weak #2)."""
+
+    _, d = _load("ddim")
+    from ap_adapter_tpu.configs import SchedulerConfig
+    from ap_adapter_tpu.diffusion import ddim
+
+    for spacing, steps in [("leading", 50), ("leading", 4), ("trailing", 8)]:
+        cfg = SchedulerConfig(timestep_spacing=spacing)
+        got = ddim.inference_timesteps(cfg, steps)
+        np.testing.assert_array_equal(got, d[f"timesteps_{spacing}_{steps}"])
+
+    tables = ddim.make_tables(SchedulerConfig())
+    np.testing.assert_allclose(np.asarray(tables.alphas_cumprod),
+                               d["alphas_cumprod"], atol=1e-7, rtol=1e-6)
+    np.testing.assert_allclose(float(tables.final_alpha_cumprod),
+                               float(d["final_alpha_cumprod"]), rtol=1e-6)
+
+    ts = ddim.inference_timesteps(SchedulerConfig(), 50)
+    step_gap = 1000 // 50
+    for pred in ("epsilon", "v_prediction"):
+        for clip in (False, True):
+            tables = ddim.make_tables(SchedulerConfig(
+                prediction_type=pred, clip_sample=clip))
+            x = jnp.asarray(d["chain_x_init"])
+            for i, t in enumerate(ts):
+                x = ddim.ddim_step(tables, jnp.asarray(d["chain_model_outputs"][i]),
+                                   jnp.asarray(t), jnp.asarray(t - step_gap), x)
+            np.testing.assert_allclose(
+                np.asarray(x), d[f"chain_final_{pred}_clip{int(clip)}"],
+                atol=2e-4, rtol=2e-4,
+                err_msg=f"50-step {pred} clip={clip} chain diverged")
+
+    tables = ddim.make_tables(SchedulerConfig())
+    got_noisy = ddim.add_noise(tables, jnp.asarray(d["an_x0"]),
+                               jnp.asarray(d["an_noise"]),
+                               jnp.asarray(d["an_timesteps"]))
+    np.testing.assert_allclose(np.asarray(got_noisy), d["want_noisy"],
+                               atol=1e-5, rtol=1e-5)
+    got_v = ddim.velocity_target(tables, jnp.asarray(d["an_x0"]),
+                                 jnp.asarray(d["an_noise"]),
+                                 jnp.asarray(d["an_timesteps"]))
+    np.testing.assert_allclose(np.asarray(got_v), d["want_velocity"],
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_tiny_e2e_regression():
     """REGRESSION pin (self-captured, not a torch oracle): the tiny-config
     pipeline's end-to-end waveform at fixed seeds. Catches silent numeric
