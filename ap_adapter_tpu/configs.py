@@ -392,6 +392,9 @@ def tiny_pipeline_config(dtype: Any = jnp.float32) -> PipelineConfig:
 
     return PipelineConfig(
         audiomae=AudioMAEConfig(img_size=(64, 32), patch_size=16, embed_dim=32, depth=2, num_heads=2),
+        # fbank geometry MATCHES audiomae.img_size so prepare_fbank feeds the
+        # tiny AudioMAE directly (full config: 1024x128)
+        fbank=FbankConfig(target_frames=64, num_mel_bins=32),
         clap=ClapTextConfig(
             vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
             intermediate_size=64, max_position_embeddings=64, projection_dim=16,

@@ -117,11 +117,16 @@ def run_batched_eval(
     # pipelined sweep (same serving pattern as bench.py / SDEdit, PERF.md
     # r4): dispatch every batch with materialize=False so each batch's host
     # work — per-clip fbank DSP, output readback — overlaps the previous
-    # batch's device compute. The first (compile) batch is materialized
-    # before the clock starts; the timed window spans dispatch of batch 2
-    # through materialization of the last output.
+    # batch's device compute. The pipeline is 1 batch deep: batch i-1 is
+    # materialized while batch i runs on device, so output HBM stays O(1)
+    # in the sweep length (an all-lazy sweep pins every batch's waveforms
+    # on device and can OOM at large eval sets) with the same host/device
+    # overlap. The first (compile) batch is materialized before the clock
+    # starts; the timed window spans dispatch of batch 2 through
+    # materialization of the last output.
     t0 = None
-    lazy_edits = []
+    in_flight = None
+    n_timed = 0
     for i in range(0, len(clip_paths) - batch_size + 1, batch_size):
         batch_paths = clip_paths[i : i + batch_size]
         fbanks = []
@@ -138,11 +143,15 @@ def run_batched_eval(
             all_edits.append(np.asarray(wavs)[:, :samples])
             t0 = time.perf_counter()
         else:
-            lazy_edits.append(wavs)
+            if in_flight is not None:
+                all_edits.append(np.asarray(in_flight)[:, :samples])
+            in_flight = wavs
+            n_timed += batch_size
         all_names.extend(os.path.basename(p) for p in batch_paths)
         n_done += batch_size
-    all_edits.extend(np.asarray(w)[:, :samples] for w in lazy_edits)
-    if t0 is not None and lazy_edits:
+    if in_flight is not None:
+        all_edits.append(np.asarray(in_flight)[:, :samples])
+    if t0 is not None and n_timed:
         wall = time.perf_counter() - t0
 
     sr_out = cfg.vocoder.sampling_rate

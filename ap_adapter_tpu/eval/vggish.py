@@ -88,14 +88,21 @@ def vggish_log_mel_examples(waveform: jnp.ndarray) -> jnp.ndarray:
 
 
 class VGGish(nn.Module):
-    """torchvggish-compatible VGG stack -> 128-d embedding (post-ReLU).
+    """torchvggish-compatible VGG stack -> 128-d embedding.
 
     Input examples [B, 96, 64, 1] NHWC. The flatten before the MLP follows
     torchvggish's ``permute(0, 2, 3, 1)`` + view — i.e. plain NHWC flatten —
     so converted ``embeddings.0`` weights apply directly.
+
+    ``use_activation`` mirrors frechet-audio-distance's flag of the same
+    name: the package's DEFAULT (False) strips the final ReLU from the
+    embeddings head (``VGGish.postprocess`` path with use_activation=False
+    pops ``embeddings.4``'s activation), so paper-comparable FAD runs on the
+    raw ``fc_embed`` outputs. True restores torchvggish's post-ReLU output.
     """
 
     dtype: Any = jnp.float32
+    use_activation: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -114,12 +121,15 @@ class VGGish(nn.Module):
         x = x.reshape(x.shape[0], -1)  # [B, 6*4*512]
         x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc1")(x))
         x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc2")(x))
-        return nn.relu(nn.Dense(128, dtype=self.dtype, name="fc_embed")(x))
+        x = nn.Dense(128, dtype=self.dtype, name="fc_embed")(x)
+        return nn.relu(x) if self.use_activation else x
 
 
 class VggishEmbedder:
     """Duck-typed embedder for eval/runner._embed_wavs (the ``.embed``
-    surface): per-clip mean-pooled VGGish embeddings."""
+    surface): frame-level (0.96 s example) VGGish embeddings concatenated
+    across the clip set, matching frechet-audio-distance's
+    ``get_embeddings`` (FAD statistics run over examples, not clips)."""
 
     def __init__(self, params):
         self.params = params
@@ -141,16 +151,22 @@ class VggishEmbedder:
         return vggish_clip_embeddings(self.params, waveforms, sample_rate)
 
 
-def vggish_clip_embeddings(params, waveforms, sample_rate: int) -> np.ndarray:
-    """List of 1-D wavs (or one [B, N] array) -> [N_clips, 128]: each clip's
-    examples embedded and mean-pooled (the frechet-audio-distance package
-    aggregates per-clip example embeddings the same way)."""
+def vggish_clip_embeddings(
+    params, waveforms, sample_rate: int, use_activation: bool = False
+) -> np.ndarray:
+    """List of 1-D wavs (or one [B, N] array) -> [total_examples, 128].
+
+    frechet-audio-distance semantics (``get_embeddings``): every clip's
+    0.96 s examples are embedded and the example-level embeddings are
+    CONCATENATED across the whole set — FAD mean/cov run over examples, not
+    over per-clip pools — with the final ReLU stripped by default
+    (use_activation=False). Paper-comparable FAD numbers require both."""
 
     import jax
 
     from ap_adapter_tpu.audio.dsp import resample
 
-    model = VGGish()
+    model = VGGish(use_activation=use_activation)
 
     @jax.jit
     def embed(p, ex):
@@ -164,6 +180,5 @@ def vggish_clip_embeddings(params, waveforms, sample_rate: int) -> np.ndarray:
         if sample_rate != SAMPLE_RATE:
             w = resample(w, sample_rate, SAMPLE_RATE)
         ex = vggish_log_mel_examples(w)[..., None]  # [E, 96, 64, 1]
-        emb = embed(params, ex)
-        out.append(np.asarray(emb, np.float32).mean(axis=0))
-    return np.stack(out)
+        out.append(np.asarray(embed(params, ex), np.float32))
+    return np.concatenate(out, axis=0)

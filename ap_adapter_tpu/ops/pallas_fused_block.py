@@ -47,18 +47,55 @@ _BF16_SOFTMAX = _os.environ.get("AP_ATTN_BF16", "0") == "1"
 # classic rowwise-max-subtracted form). The rowwise max exists only for
 # overflow safety; an upper CLAMP gives the same guarantee without the
 # dedicated read+cross-lane-reduce pass over the [g·tq, Sp] logits block:
-#   p = exp(min(logits, 80))         exp(80)=5.5e34; x4000 keys = 2.2e38
-#                                    < fp32 max, so the row sum can't inf
+#   p = exp(min(logits, 50))         exp(50)=5.2e21; x4096 keys = 2.1e25
+#                                    < fp32 max, so the row sum can't inf —
+#                                    AND the un-normalized PV accumulation
+#                                    sum(p·v) stays finite for any
+#                                    max|v| < ~1.6e13 (the division by denom
+#                                    happens AFTER the PV matmul, so the
+#                                    clamp must bound the accumulation too;
+#                                    at the old clamp of 80, |v| > ~1.5 with
+#                                    a saturated row could inf the fp32
+#                                    accumulator before normalization)
 #   denom = sum(p) + 1e-37           0/0 guard; pollutes only when the row
 #                                    max is < ~-86.5 (softmax of such a row
 #                                    is garbage under either form)
 # Masked columns stay NEG_INF -> exp underflows to exactly 0, as before.
-# softmax is shift-invariant, so for any logits in (-86, 80) this is the
+# softmax is shift-invariant, so for any logits in (-86, 50) this is the
 # max-subtracted result up to fp32 rounding (exp arg-reduction error
-# ~|x|·eps ≈ 5e-6 rel at the clamp; bf16 matmul noise is 100x larger).
+# ~|x|·eps ≈ 3e-6 rel at the clamp; bf16 matmul noise is 100x larger).
+# Scaled attention logits in these models sit well inside ±30 (|logit| <=
+# |q||k|/sqrt(d) with LN'd activations); rows whose max EXCEEDS the clamp
+# get near-uniform weight over the clamped keys instead of their exact
+# softmax — an already-degenerate regime under either formulation.
 _MAXSUB = _os.environ.get("AP_ATTN_MAXSUB", "0") == "1"
-_CLAMP = 80.0
+_CLAMP = 50.0
 _DENOM_EPS = 1e-37
+
+
+def _softmax_probs(logits, io_dtype):
+    """(numerator p, row denom) under the module flags — the ONE softmax
+    used by the forward kernels AND the backward recompute, so the bwd
+    probabilities bitwise-match the forward under every flag combination
+    (ADVICE r4: _kernel_pipe previously hardcoded the max-subtracted form).
+
+    Default: clamped max-free (see the _CLAMP analysis above). With
+    AP_ATTN_MAXSUB=1: classic rowwise-max subtraction; AP_ATTN_BF16=1
+    additionally runs the exp in bf16 on bf16 inputs (measured negative on
+    v5e — kept for A/Bs on other backends)."""
+
+    if not _MAXSUB:
+        p = jnp.exp(jnp.minimum(logits, _CLAMP))
+        return p, jnp.sum(p, axis=-1, keepdims=True) + _DENOM_EPS
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    if io_dtype == jnp.bfloat16 and _BF16_SOFTMAX:
+        # bf16 exp/sum over the S² probs (~0.4% rel err — same class as the
+        # bf16 matmul rounding everywhere else); fp32 parity tests keep the
+        # fp32 path. Halves the dominant VPU traffic.
+        p = jnp.exp((logits - m).astype(jnp.bfloat16))
+        return p, jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p, jnp.sum(p, axis=-1, keepdims=True)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -179,20 +216,7 @@ def _kernel(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         if s_valid < k_scr.shape[0]:  # static: mask only when S was padded
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col < s_valid, logits, NEG_INF)
-        if not _MAXSUB:
-            p = jnp.exp(jnp.minimum(logits, _CLAMP))
-            denom = jnp.sum(p, axis=-1, keepdims=True) + _DENOM_EPS
-        elif xt.dtype == jnp.bfloat16 and _BF16_SOFTMAX:
-            # bf16 exp/sum over the S² probs (~0.4% rel err — same class as
-            # the bf16 matmul rounding everywhere else); fp32 parity tests
-            # keep the fp32 path. Halves the dominant VPU traffic.
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp((logits - m).astype(jnp.bfloat16))
-            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-        else:
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
+        p, denom = _softmax_probs(logits, xt.dtype)
         o_full = jax.lax.dot_general(
             p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / denom  # [g*tq, 128]
@@ -271,9 +295,7 @@ def _kernel_pipe(x_full_ref, x_tile_ref, lns_ref, lnb_ref, wq_ref, wk_ref,
     for g2 in range(n_groups):
         logits = logits_all[g2]
         vg = v_scr[:, g2 * LANES : (g2 + 1) * LANES]
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p, denom = _softmax_probs(logits, xt.dtype)
         o_full = jax.lax.dot_general(
             p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / denom
@@ -659,13 +681,9 @@ def _bwd_kernel(x_full_ref, g_full_ref, x_tile_ref, g_tile_ref, lns_ref,
         if s_valid < k_scr.shape[0]:  # static: mask only when S was padded
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col < s_valid, logits, NEG_INF)
-        if _MAXSUB:
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-        else:  # clamped max-free recompute, bitwise-matching the forward
-            p = jnp.exp(jnp.minimum(logits, _CLAMP))
-            denom = jnp.sum(p, axis=-1, keepdims=True) + _DENOM_EPS
+        # recompute via the same flag-honoring softmax the forward ran, so
+        # probs bitwise-match the forward under every flag combination
+        p, denom = _softmax_probs(logits, xt.dtype)
         probs = (p / denom).astype(xt.dtype)
 
         # dv: P^T @ gs — head blocks land in their own lanes (gs zeros)

@@ -155,7 +155,12 @@ def generate_style_transfer(
             wav = resample(wav, sample_rate, sr)
 
     b = text_pos.clap_ids.shape[0]
-    mel_frames = int(audio_length_in_s * c.mel.frames_per_second)
+    # same length math as AudioLDM2Pipeline.generate (reference
+    # pipeline_audioldm2.py:855-870): mel frames from the VOCODER's
+    # upsample factor, rounded up to a whole latent — NOT from
+    # mel.frames_per_second, which need not match the vocoder hop on
+    # non-default configs
+    mel_frames = pipe.latent_time_for_seconds(audio_length_in_s) * c.vae.scale_factor
     source = jnp.broadcast_to(wav[None], (b, wav.shape[-1]))
 
     fbank = pipe.prepare_fbank(np.asarray(wav), sr) if use_audio_prompt else None

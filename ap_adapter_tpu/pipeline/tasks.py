@@ -99,6 +99,52 @@ def run_task(
     return written
 
 
+def run_sdedit_task(
+    task: TaskConfig,
+    pipe: AudioLDM2Pipeline,
+    tokenizers: Optional[HFTokenizers] = None,
+) -> list[str]:
+    """SDEdit route for style transfer (reference
+    style_transfer_pipeline.py:905-981, dead code in the reference's own
+    CLI; here it is the flagship truncated-schedule path,
+    pipeline/style_transfer.py): source wav -> VAE latent noised to
+    mid-schedule -> truncated DDIM tail -> trimmed wavs, same file-naming
+    scheme as run_task."""
+
+    from ap_adapter_tpu.pipeline.style_transfer import generate_style_transfer
+
+    if not task.audio_prompt_file:
+        raise ValueError("--sdedit requires --audio-prompt (the source clip "
+                         "whose latent seeds the truncated schedule)")
+    os.makedirs(task.output_dir, exist_ok=True)
+    cfg = pipe.config
+    wav, sr = load_wav(task.audio_prompt_file)
+
+    written = []
+    for prompt in task.positive_text_prompts:
+        pos = make_text_batch(cfg, [prompt] * task.num_files, tokenizers)
+        neg_prompt = task.negative_text_prompts[0] if task.negative_text_prompts else ""
+        neg = make_text_batch(cfg, [neg_prompt] * task.num_files, tokenizers)
+        wavs = generate_style_transfer(
+            pipe, wav, sr, pos, neg,
+            audio_length_in_s=task.audio_length_in_s,
+            num_inference_steps=task.num_inference_steps,
+            guidance_scale=task.guidance_scale,
+            ap_scale=task.ap_scale,
+            time_pool=task.time_pooling,
+            freq_pool=task.freq_pooling,
+        )
+        for j in range(task.num_files):
+            name = (
+                f"{prompt[0]}_{j}_ip{task.ap_scale}"
+                f"_t{task.time_pooling}_f{task.freq_pooling}_sdedit.wav"
+            )
+            path = os.path.join(task.output_dir, name)
+            save_wav(path, wavs[j], cfg.vocoder.sampling_rate)
+            written.append(path)
+    return written
+
+
 def main(argv=None):
     import argparse
 
@@ -114,14 +160,48 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--random-weights", action="store_true",
                         help="run with random weights (smoke/benchmark)")
+    parser.add_argument("--sdedit", action="store_true",
+                        help="style_transfer only: edit via the SDEdit "
+                        "truncated-schedule path (source latent noised to "
+                        "mid-schedule) instead of full text-to-audio "
+                        "generation; requires --audio-prompt")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny smoke config instead of the full model "
+                        "(CI / CPU smoke runs)")
+    parser.add_argument("--audio-length", type=float, default=None,
+                        help="output length in seconds (default: task template)")
+    parser.add_argument("--prompt", default="",
+                        help="override the task template's prompt list with "
+                        "this single positive prompt")
+    parser.add_argument("--time-pool", type=int, default=None,
+                        help="override the task template's time pooling")
+    parser.add_argument("--freq-pool", type=int, default=None,
+                        help="override the task template's freq pooling")
     args = parser.parse_args(argv)
 
+    if args.sdedit and args.task != "style_transfer":
+        parser.error("--sdedit is only valid with --task style_transfer")
+
+    overrides = {}
+    if args.audio_length is not None:
+        overrides["audio_length_in_s"] = args.audio_length
+    if args.prompt:
+        overrides["positive_text_prompts"] = (args.prompt,)
+    if args.time_pool is not None:
+        overrides["time_pooling"] = args.time_pool
+    if args.freq_pool is not None:
+        overrides["freq_pooling"] = args.freq_pool
     task = get_task_config(
         args.task, output_dir=args.output_dir, audio_prompt_file=args.audio_prompt,
         adapter_ckpt=args.adapter_ckpt, num_files=args.num_files,
-        num_inference_steps=args.steps,
+        num_inference_steps=args.steps, **overrides,
     )
-    config = PipelineConfig()
+    if args.tiny:
+        from ap_adapter_tpu.configs import tiny_pipeline_config
+
+        config = tiny_pipeline_config()
+    else:
+        config = PipelineConfig()
     pipe = load_pipeline(
         config,
         checkpoint_dir=args.checkpoint_dir or None,
@@ -130,7 +210,8 @@ def main(argv=None):
     tokenizers = None
     if args.checkpoint_dir and os.path.isdir(os.path.join(args.checkpoint_dir, "tokenizer")):
         tokenizers = HFTokenizers(args.checkpoint_dir)
-    paths = run_task(task, pipe, tokenizers)
+    runner = run_sdedit_task if args.sdedit else run_task
+    paths = runner(task, pipe, tokenizers)
     for p in paths:
         print(p)
 
