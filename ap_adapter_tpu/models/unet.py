@@ -185,8 +185,11 @@ class AudioLDM2UNet(nn.Module):
                 target = skips[-1].shape[1:3]
                 x = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{bi}_upsample")(x, target)
 
+        from ap_adapter_tpu.models.unet_blocks import _GN_F32_STATS
+
         x = nn.GroupNorm(num_groups=groups, epsilon=c.norm_eps, dtype=self.dtype,
-                         name="conv_norm_out")(x)
+                         name="conv_norm_out",
+                         force_float32_reductions=_GN_F32_STATS)(x)
         x = nn.silu(x)
         x = nn.Conv(c.out_channels, (c.conv_out_kernel,) * 2, padding=(c.conv_out_kernel - 1) // 2,
                     dtype=self.dtype, name="conv_out")(x)

@@ -28,6 +28,13 @@ from ap_adapter_tpu.ops.attention import _on_tpu, sdpa, self_attention
 # kernels only at the >=512-token sites; 252/64-token sites stay XLA)
 _SMALL_ATTN_MIN_N = 64 if _os.environ.get("AP_FUSE_SMALL_ATTN", "1") == "1" else 512
 
+# A/B: GroupNorm statistics without the fp32 promotion (AP_GN_BF16=1) — the
+# bf16->fp32 convert feeding the GN reduces is 14.1 ms/step of convert_reduce
+# in the serving trace (docs/PERF.md r4); this flag measures whether dropping
+# it buys end-to-end clips/s at acceptable log-mel delta. Applies to the
+# UNet's XLA GroupNorms only (VAE/vocoder untouched).
+_GN_F32_STATS = _os.environ.get("AP_GN_BF16", "0") != "1"
+
 
 class GroupNormParams(nn.Module):
     """Raw GroupNorm scale/bias (same param tree as nn.GroupNorm)."""
@@ -91,7 +98,8 @@ class ResnetBlock2D(nn.Module):
                                 self.groups, self.eps, act=True)
             return y.reshape(b, hh, ww, c).astype(self.dtype)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name=name)(h)
+                         dtype=self.dtype, name=name,
+                         force_float32_reductions=_GN_F32_STATS)(h)
         return nn.silu(h)
 
     @nn.compact
@@ -732,7 +740,9 @@ class Transformer2DModel(nn.Module):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                         name="norm",
+                         force_float32_reductions=_GN_F32_STATS)(x)
         y = nn.Dense(inner, dtype=self.dtype, name="proj_in")(y)  # 1x1 conv == dense
         y = y.reshape(b, h * w, inner)
         # hoisted K/V ride the scan sliced per block (axis 0 = L, matching

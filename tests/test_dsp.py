@@ -195,3 +195,40 @@ def test_strip_adapter_tokens():
     out = strip_adapter_tokens(ctx, 2)
     assert out.shape == (1, 4, 4)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ctx[:, :4]))
+
+
+def test_kaldi_fbank_matches_independent_direct_dft_oracle(rng):
+    """Property check vs a SECOND independently-authored Kaldi fbank
+    (tests/fbank_oracle.py: per-frame loop, explicit DFT matrix, per-bin
+    mel triangles, float64 — written from the Kaldi feature_window /
+    mel-banks semantics, not from audio/fbank.py). Shrinks the
+    'self-oracle written twice by the same hand' risk torchaudio's absence
+    leaves open (VERDICT r4 item 9; reference AudioMAE.py:356-394)."""
+
+    from fbank_oracle import direct_fbank
+
+    cfg = FbankConfig()
+    # structured + random content; length gives 8 frames (snip-edges math)
+    n = cfg.frame_length + 7 * cfg.frame_shift
+    t = np.arange(n) / cfg.sample_rate
+    wav = (0.4 * np.sin(2 * np.pi * 440.0 * t)
+           + 0.1 * np.sin(2 * np.pi * 3000.0 * t)
+           + 0.05 * rng.standard_normal(n)).astype(np.float32)
+
+    got = np.asarray(kaldi_fbank(jnp.asarray(wav), cfg))
+    want = direct_fbank(
+        wav, sample_rate=cfg.sample_rate,
+        frame_length_ms=cfg.frame_length_ms, frame_shift_ms=cfg.frame_shift_ms,
+        num_mel_bins=cfg.num_mel_bins, low_freq=cfg.low_freq,
+        high_freq=cfg.high_freq, preemphasis=cfg.preemphasis,
+        remove_dc_offset=cfg.remove_dc_offset, use_power=cfg.use_power)
+    assert got.shape == want.shape == (8, cfg.num_mel_bins)
+    # fp32 sliding-window+rfft vs fp64 loop+DFT: agreement to fp32 class
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+    # degenerate lengths: one frame exactly, and sub-window (zero frames)
+    one = np.asarray(kaldi_fbank(jnp.asarray(wav[: cfg.frame_length]), cfg))
+    np.testing.assert_allclose(
+        one, direct_fbank(wav[: cfg.frame_length]).astype(np.float32),
+        rtol=2e-4, atol=2e-4)
