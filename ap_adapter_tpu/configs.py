@@ -277,6 +277,15 @@ class UNetConfig:
     # serving only (the pipeline enables it); training reads raw params so
     # gradients flow.
     use_weight_prep: bool = False
+    # tensor-parallel serving (parallel/tp.py): route every attention/FF
+    # site through the plain-XLA path regardless of platform. The fused
+    # Pallas kernels are opaque to GSPMD — a pallas_call with 'model'-sharded
+    # operands would force an all-gather per site — while the XLA einsum
+    # path partitions cleanly (head-sharded QKV, column-sharded GEGLU, one
+    # ICI all-reduce at each out-projection). Set by
+    # AudioLDM2Pipeline(tensor_parallel=True); never needed for the
+    # data-parallel or single-chip paths.
+    force_xla_core: bool = False
     # rematerialize each resnet/attention group in the backward pass —
     # shrinks the fwd+bwd graph and activation memory so the full-scale
     # train step compiles on TPU (the training CLI turns this on; pure

@@ -120,6 +120,7 @@ class AudioLDM2UNet(nn.Module):
                 use_pallas=c.use_pallas_attention,
                 use_int8=c.use_int8,
                 use_weight_prep=c.use_weight_prep,
+                force_xla=c.force_xla_core,
                 groups=groups,
                 scan_unroll=c.scan_unroll,
                 dtype=self.dtype,

@@ -299,6 +299,9 @@ class CrossAttention(nn.Module):
     use_pallas: bool = False
     use_int8: bool = False
     use_weight_prep: bool = False
+    # tensor-parallel serving: keep every site on the XLA einsum path so
+    # GSPMD can partition it (UNetConfig.force_xla_core)
+    force_xla: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -337,7 +340,7 @@ class CrossAttention(nn.Module):
             and n >= _SMALL_ATTN_MIN_N and inner % 128 == 0
             and fused_block_applicable(self.heads, d)
             and inner == c_in and self.out_dim == c_in
-            and _on_tpu()
+            and _on_tpu() and not self.force_xla
         )
         if fused_ok and self.use_weight_prep and not self.use_int8 \
                 and d_p is not None and d_p != d:
@@ -402,7 +405,7 @@ class CrossAttention(nn.Module):
             and n >= _SMALL_ATTN_MIN_N and inner % 128 == 0
             and fused_block_applicable(self.heads, d)
             and inner == c_in and self.out_dim == c_in
-            and _on_tpu()
+            and _on_tpu() and not self.force_xla
         )
         if fused_kv_ok and not self.use_int8:
             # hoisted-K/V serving route (models/hoist.py): the conditioning
@@ -450,7 +453,7 @@ class CrossAttention(nn.Module):
             and (not self.use_adapter
                  or (context.shape[1] > self.num_ip_tokens
                      and self.num_ip_tokens % 8 == 0))
-            and _on_tpu()
+            and _on_tpu() and not self.force_xla
         )
         if fused_cross_ok and self.use_int8:
             # W8A8 serving mode: the [S,C]-sized q/out projections in int8
@@ -556,7 +559,7 @@ class CrossAttention(nn.Module):
                 else:
                     ki = _dense(ip_ctx, wki, None, self.dtype).reshape(b, -1, self.heads, d)
                     vi = _dense(ip_ctx, wvi, None, self.dtype).reshape(b, -1, self.heads, d)
-                if self.use_pallas:
+                if self.use_pallas and not self.force_xla:
                     from ap_adapter_tpu.ops.pallas_attention import fused_dual_kv_attention
 
                     out = fused_dual_kv_attention(q, k, v, ki, vi, ip_scale)
@@ -566,8 +569,9 @@ class CrossAttention(nn.Module):
             else:
                 out = sdpa(q, k, v, mask=mask_bias)
         elif not is_cross and mask_bias is None:
-            # self-attention: head-packed / whole-KV kernels for long seqs (TPU)
-            out = self_attention(q, k, v)
+            # self-attention: head-packed / whole-KV kernels for long seqs
+            # (TPU); TP keeps the GSPMD-partitionable einsum form
+            out = sdpa(q, k, v) if self.force_xla else self_attention(q, k, v)
         else:
             out = sdpa(q, k, v, mask=mask_bias)
 
@@ -586,6 +590,7 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     use_int8: bool = False
+    force_xla: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -596,7 +601,7 @@ class FeedForward(nn.Module):
         w2, b2 = DenseParams(self.dim, name="out_proj")(inner)
 
         if pre_ln is not None and inner % 128 == 0 and c_in % 128 == 0 \
-                and self.dim == c_in and _on_tpu():
+                and self.dim == c_in and _on_tpu() and not self.force_xla:
             if self.use_int8:
                 # W8A8 serving mode (inference-only): both GEGLU matmuls in
                 # int8 with dynamic per-row activation scales; weights
@@ -651,6 +656,7 @@ class BasicTransformerBlock(nn.Module):
     use_pallas: bool = False
     use_int8: bool = False
     use_weight_prep: bool = False
+    force_xla: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -669,7 +675,7 @@ class BasicTransformerBlock(nn.Module):
         ln1 = LayerNormParams(self.dim, name="norm1")()
         x = CrossAttention(
             self.heads, self.dim_head, self.dim, use_int8=self.use_int8,
-            use_weight_prep=self.use_weight_prep,
+            use_weight_prep=self.use_weight_prep, force_xla=self.force_xla,
             dtype=self.dtype, name="attn1",
         )(x, pre_ln=ln1)
 
@@ -679,7 +685,7 @@ class BasicTransformerBlock(nn.Module):
             self.heads, self.dim_head, self.dim,
             use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
             use_pallas=self.use_pallas, use_int8=self.use_int8,
-            use_weight_prep=self.use_weight_prep,
+            use_weight_prep=self.use_weight_prep, force_xla=self.force_xla,
             dtype=self.dtype, name="attn2",
         )(x, context=ctx, mask_bias=context_mask_bias if ctx is not None else None,
           ip_scale=ip_scale, pre_ln=ln2,
@@ -687,7 +693,8 @@ class BasicTransformerBlock(nn.Module):
           bias_pre=bias_pre if ctx is not None else None)
 
         ln3 = LayerNormParams(self.dim, name="norm3")()
-        return FeedForward(self.dim, use_int8=self.use_int8, dtype=self.dtype,
+        return FeedForward(self.dim, use_int8=self.use_int8,
+                           force_xla=self.force_xla, dtype=self.dtype,
                            name="ff")(x, pre_ln=ln3)
 
 
@@ -723,6 +730,7 @@ class Transformer2DModel(nn.Module):
     use_pallas: bool = False
     use_int8: bool = False
     use_weight_prep: bool = False
+    force_xla: bool = False
     groups: int = 32
     scan_unroll: int = 1
     dtype: Any = jnp.float32
@@ -767,7 +775,7 @@ class Transformer2DModel(nn.Module):
             cross_attention_dim=self.cross_attention_dim,
             use_adapter=self.use_adapter, num_ip_tokens=self.num_ip_tokens,
             use_pallas=self.use_pallas, use_int8=self.use_int8,
-            use_weight_prep=self.use_weight_prep,
+            use_weight_prep=self.use_weight_prep, force_xla=self.force_xla,
             dtype=self.dtype, name="transformer_blocks",
         )
         y, _ = blocks(y, context, context_mask_bias, ip_scale, kv_pre, bias_pre)
@@ -791,6 +799,7 @@ class AttentionGroup(nn.Module):
     use_pallas: bool = False
     use_int8: bool = False
     use_weight_prep: bool = False
+    force_xla: bool = False
     groups: int = 32
     scan_unroll: int = 1
     dtype: Any = jnp.float32
@@ -823,7 +832,7 @@ class AttentionGroup(nn.Module):
                 use_adapter=(dim is not None and dim == self.adapter_dim),
                 num_ip_tokens=self.num_ip_tokens,
                 use_pallas=self.use_pallas, use_int8=self.use_int8,
-                use_weight_prep=self.use_weight_prep,
+                use_weight_prep=self.use_weight_prep, force_xla=self.force_xla,
                 groups=self.groups, scan_unroll=self.scan_unroll,
                 dtype=self.dtype, name=f"attentions_{idx}",
             )(x, context, bias, ip_scale, kv, bias_pre)

@@ -316,12 +316,27 @@ class AudioLDM2Pipeline:
     """User-facing pipeline: owns params, jits generate per shape bucket."""
 
     def __init__(self, config: PipelineConfig, params: Dict[str, Any],
-                 device=None, mesh=None):
+                 device=None, mesh=None, tensor_parallel: bool = False):
         import dataclasses
 
         from ap_adapter_tpu.ops.attention import _on_tpu
 
-        if _on_tpu() and not config.unet.use_weight_prep:
+        self.tensor_parallel = bool(
+            tensor_parallel and mesh is not None
+            and mesh.shape.get("model", 1) > 1)
+        if tensor_parallel and not self.tensor_parallel:
+            raise ValueError(
+                "tensor_parallel=True needs a mesh with a 'model' axis of "
+                f"size > 1 (got mesh={None if mesh is None else dict(mesh.shape)})")
+        if self.tensor_parallel:
+            # latency mode (parallel/tp.py): UNet transformer weights
+            # sharded over 'model'; the Pallas kernels and their prepared
+            # weight copies are DP-only, so force the GSPMD-partitionable
+            # XLA core instead
+            config = config.replace(unet=dataclasses.replace(
+                config.unet, force_xla_core=True,
+                use_weight_prep=False, use_int8=False))
+        elif _on_tpu() and not config.unet.use_weight_prep:
             # serving on TPU: store head-padded weight copies once (the
             # "quant" collection) instead of re-padding every DDIM step
             config = config.replace(
@@ -335,7 +350,12 @@ class AudioLDM2Pipeline:
         # commit params to device once — host (numpy) leaves would otherwise be
         # re-transferred on every jitted call (catastrophic through a relay)
         if params:
-            if mesh is not None:
+            if self.tensor_parallel:
+                from ap_adapter_tpu.parallel import tp as tp_lib
+
+                params = tp_lib.tp_place_params(
+                    mesh, params, config.unet.num_attention_heads)
+            elif mesh is not None:
                 from ap_adapter_tpu.parallel import mesh as mesh_lib
 
                 params = mesh_lib.replicate_params(mesh, params)

@@ -24,21 +24,53 @@ def load_pipeline(
     checkpoint_dir: Optional[str] = None,
     adapter_ckpt: Optional[str] = None,
     seed: int = 0,
+    tensor_parallel: int = 1,
 ) -> AudioLDM2Pipeline:
     """Build the pipeline from a converted checkpoint directory (or random
-    weights when none is given — benchmarking/smoke mode)."""
+    weights when none is given — benchmarking/smoke mode).
+
+    ``tensor_parallel`` > 1 builds a (devices/N, N) mesh and serves each
+    request cooperatively over N chips (parallel/tp.py latency mode)."""
+
+    mesh = None
+    kw = {}
+    if tensor_parallel > 1:
+        import jax
+
+        from ap_adapter_tpu.parallel import mesh as mesh_lib
+
+        # latency mode: exactly N chips serve each request cooperatively
+        # (data axis 1 — any request batch size works); a production server
+        # runs one such replica per N-chip group
+        mesh = mesh_lib.create_mesh(
+            data=1, model=tensor_parallel,
+            devices=jax.devices()[:tensor_parallel])
+        kw = dict(mesh=mesh, tensor_parallel=True)
 
     if checkpoint_dir:
         from ap_adapter_tpu.utils.checkpoint import load_params
 
         params = load_params(checkpoint_dir)
-        pipe = AudioLDM2Pipeline(config, params)
+        pipe = AudioLDM2Pipeline(config, params, **kw)
+    elif mesh is not None:
+        from ap_adapter_tpu.pipeline.pipeline import PipelineModules, cast_params_to
+
+        params = cast_params_to(PipelineModules(config).init_params(seed),
+                                config.dtype)
+        pipe = AudioLDM2Pipeline(config, params, **kw)
     else:
         pipe = AudioLDM2Pipeline.from_random(config, seed)
 
     if adapter_ckpt:
         flat = _load_flat_adapter(adapter_ckpt)
         pipe.params["unet"] = import_flat_adapter(pipe.params["unet"], flat, config.unet)
+        if mesh is not None:
+            # the imported adapter leaves are host arrays; recommit the tree
+            # so every leaf carries its 'model' sharding before the first jit
+            from ap_adapter_tpu.parallel import tp as tp_lib
+
+            pipe.params = tp_lib.tp_place_params(
+                mesh, pipe.params, config.unet.num_attention_heads)
     return pipe
 
 
@@ -177,6 +209,10 @@ def main(argv=None):
                         help="override the task template's time pooling")
     parser.add_argument("--freq-pool", type=int, default=None,
                         help="override the task template's freq pooling")
+    parser.add_argument("--tensor-parallel", type=int, default=1,
+                        help="serve each request over N chips (model-axis "
+                        "sharded UNet, parallel/tp.py latency mode; N must "
+                        "divide both the device and attention-head counts)")
     args = parser.parse_args(argv)
 
     if args.sdedit and args.task != "style_transfer":
@@ -206,6 +242,7 @@ def main(argv=None):
         config,
         checkpoint_dir=args.checkpoint_dir or None,
         adapter_ckpt=args.adapter_ckpt or None,
+        tensor_parallel=args.tensor_parallel,
     )
     tokenizers = None
     if args.checkpoint_dir and os.path.isdir(os.path.join(args.checkpoint_dir, "tokenizer")):
